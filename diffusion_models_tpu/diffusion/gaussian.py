@@ -1,0 +1,535 @@
+"""DDPM / DDIM diffusion process as pure, jittable functions.
+
+Capability parity with the reference `DenoisingDiffusion`
+(`denoising_diffusion/denoising_diffusion.py:435-900`): pred_noise / pred_x0 /
+pred_v objectives, linear/cosine/sigmoid schedules, ancestral and DDIM
+sampling, self-conditioning, offset noise, min-SNR weighting, hybrid
+(Improved-DDPM) loss, immiscible-noise assignment, and interpolation.
+
+TPU-native design decisions (deliberately NOT a port of the torch class):
+
+  - The reference drives its reverse loops from host Python, one kernel-launch
+    set per timestep (`p_sample_loop` at :648, `ddim_sample` at :667). Here
+    both loops are a single `jax.lax.scan` over the timestep axis inside one
+    jitted function: the whole 1000-step (or S-step DDIM) chain compiles to
+    one XLA program with zero host round-trips.
+  - Stochasticity is explicit: every entry point takes a PRNG key and splits
+    it functionally (no global RNG). Self-conditioning's coin flip
+    (reference `random() < 0.5` at :845) becomes a `bernoulli` + `lax.cond`.
+  - All schedule gathers come from the frozen `DiffusionSchedule` pytree, so
+    XLA constant-folds them into the compiled step.
+  - q_sample and the loss run in f32 (matching the reference's
+    autocast-disabled fp32 q_sample at :811) while the inner U-Net runs bf16.
+  - `cond` is a generic pytree threaded through to the model, which is how the
+    image-/text-conditional subclasses specialize without copying samplers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_tpu.ops.schedules import DiffusionSchedule, extract, make_schedule
+from diffusion_models_tpu.utils.helpers import (
+    default,
+    exists,
+    identity,
+    normalize_to_neg_one_to_one,
+    unnormalize_to_zero_to_one,
+)
+
+
+class ModelPrediction(NamedTuple):
+    pred_noise: jnp.ndarray
+    pred_x_start: jnp.ndarray
+
+
+class GaussianDiffusion:
+    """Diffusion process wrapper around a denoiser `flax.linen` module.
+
+    All methods are pure in (params, rng, data) and safe to `jax.jit` /
+    `pjit`; the object itself only holds static config plus the schedule
+    pytree.
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        image_size,
+        timesteps: int = 1000,
+        sampling_timesteps: Optional[int] = None,
+        objective: str = "pred_noise",
+        beta_schedule: str = "linear",
+        schedule_fn_kwargs: Optional[dict] = None,
+        ddim_sampling_eta: float = 0.0,
+        auto_normalize: bool = True,
+        offset_noise_strength: float = 0.0,
+        min_snr_loss_weight: bool = False,
+        min_snr_gamma: float = 5,
+        immiscible: bool = False,
+        ddpm: bool = True,
+        hybrid_loss: bool = False,
+    ):
+        self.model = model
+        self.channels = model.channels
+        self.self_condition = getattr(model, "self_condition", False)
+
+        if isinstance(image_size, int):
+            image_size = (image_size, image_size)
+        assert (
+            isinstance(image_size, (tuple, list)) and len(image_size) == 2
+        ), "image size must be an integer or a tuple/list of two integers"
+        self.image_size = tuple(image_size)
+
+        assert objective in {"pred_noise", "pred_x0", "pred_v"}
+        self.objective = objective
+
+        self.num_timesteps = int(timesteps)
+        self.sampling_timesteps = default(sampling_timesteps, timesteps)
+        assert self.sampling_timesteps <= timesteps
+        self.is_ddim_sampling = self.sampling_timesteps < timesteps
+        self.ddim_sampling_eta = ddim_sampling_eta
+
+        self.schedule: DiffusionSchedule = make_schedule(
+            timesteps,
+            beta_schedule=beta_schedule,
+            schedule_fn_kwargs=schedule_fn_kwargs,
+            objective=objective,
+            ddpm=ddpm,
+            min_snr_loss_weight=min_snr_loss_weight,
+            min_snr_gamma=min_snr_gamma,
+        )
+
+        self.offset_noise_strength = offset_noise_strength
+        self.immiscible = immiscible
+        self.hybrid_loss = hybrid_loss
+
+        self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
+        self.unnormalize = unnormalize_to_zero_to_one if auto_normalize else identity
+
+    # ------------------------------------------------------------------ init
+
+    def sample_shape(self, batch_size: int) -> tuple:
+        h, w = self.image_size
+        return (batch_size, h, w, self.channels)
+
+    def init(self, rng, batch_size: int = 1, cond=None):
+        """Initialize denoiser parameters (NHWC dummy batch). `cond` must be
+        an example conditioning pytree for conditional models so all params
+        materialize."""
+        x = jnp.zeros(self.sample_shape(batch_size), jnp.float32)
+        t = jnp.zeros((batch_size,), jnp.int32)
+        params_rng, dropout_rng = jax.random.split(rng)
+        cond = default(cond, self.example_cond(batch_size))
+        rngs = {"params": params_rng, "dropout": dropout_rng}
+        if cond is None:
+            variables = self.model.init(rngs, x, t)
+        else:
+            variables = self.model.init(rngs, x, t, None, cond)
+        return variables["params"]
+
+    def example_cond(self, batch_size: int):
+        """Example conditioning pytree for parameter init (None = uncond)."""
+        return None
+
+    # ------------------------------------------------------- model interface
+
+    def _apply_model(self, params, x, t, x_self_cond, cond, *, train, rng):
+        """Single denoiser call. `cond` is an arbitrary conditioning pytree
+        (image map, text embedding, ...) passed straight to the network —
+        this one hook is how every conditional variant specializes without
+        duplicating the samplers (unlike the reference, which copies
+        p_sample/ddim_sample per conditional class)."""
+        rngs = {"dropout": rng} if rng is not None else None
+        if cond is None:
+            out = self.model.apply(
+                {"params": params}, x, t, x_self_cond, train=train, rngs=rngs
+            )
+        else:
+            out = self.model.apply(
+                {"params": params}, x, t, x_self_cond, cond, train=train, rngs=rngs
+            )
+        return out.astype(jnp.float32)
+
+    # --------------------------------------------------------- pure numerics
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        s = self.schedule
+        nd = x_t.ndim
+        return (
+            extract(s.sqrt_recip_alphas_cumprod, t, nd) * x_t
+            - extract(s.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+        )
+
+    def predict_noise_from_start(self, x_t, t, x0):
+        s = self.schedule
+        nd = x_t.ndim
+        return (
+            extract(s.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
+        ) / extract(s.sqrt_recipm1_alphas_cumprod, t, nd)
+
+    def predict_v(self, x_start, t, noise):
+        s = self.schedule
+        nd = x_start.ndim
+        return (
+            extract(s.sqrt_alphas_cumprod, t, nd) * noise
+            - extract(s.sqrt_one_minus_alphas_cumprod, t, nd) * x_start
+        )
+
+    def predict_start_from_v(self, x_t, t, v):
+        s = self.schedule
+        nd = x_t.ndim
+        return (
+            extract(s.sqrt_alphas_cumprod, t, nd) * x_t
+            - extract(s.sqrt_one_minus_alphas_cumprod, t, nd) * v
+        )
+
+    def q_posterior(self, x_start, x_t, t):
+        s = self.schedule
+        nd = x_t.ndim
+        posterior_mean = (
+            extract(s.posterior_mean_coef1, t, nd) * x_start
+            + extract(s.posterior_mean_coef2, t, nd) * x_t
+        )
+        posterior_variance = extract(s.posterior_variance, t, nd)
+        posterior_log_variance = extract(s.posterior_log_variance_clipped, t, nd)
+        return posterior_mean, posterior_variance, posterior_log_variance
+
+    def _noise_assignment(self, x_start, noise):
+        """Immiscible diffusion: Hungarian matching of noise to data
+        (reference `noise_assignment` at :805-809). The assignment problem is
+        solved host-side via a pure_callback (it is O(B³) scalar work that
+        does not belong on the MXU)."""
+        from scipy.optimize import linear_sum_assignment  # host-side only
+
+        b = x_start.shape[0]
+        xf = x_start.reshape(b, -1)
+        nf = noise.reshape(b, -1)
+        dist = jnp.sqrt(
+            jnp.sum((xf[:, None, :] - nf[None, :, :]) ** 2, axis=-1)
+        )
+
+        def host_assign(d):
+            _, assign = linear_sum_assignment(np.asarray(d))
+            return assign.astype(np.int32)
+
+        assign = jax.pure_callback(
+            host_assign, jax.ShapeDtypeStruct((b,), np.int32), dist
+        )
+        return assign
+
+    def q_sample(self, x_start, t, noise, rng=None):
+        """Forward diffusion q(x_t | x_0); always f32
+        (reference forces fp32 via disabled autocast at :811)."""
+        x_start = x_start.astype(jnp.float32)
+        noise = noise.astype(jnp.float32)
+        if self.immiscible:
+            assign = self._noise_assignment(x_start, noise)
+            noise = noise[assign]
+        s = self.schedule
+        nd = x_start.ndim
+        return (
+            extract(s.sqrt_alphas_cumprod, t, nd) * x_start
+            + extract(s.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+        )
+
+    # ------------------------------------------------------------ prediction
+
+    def model_predictions(
+        self,
+        params,
+        x,
+        t,
+        x_self_cond=None,
+        cond=None,
+        clip_x_start: bool = False,
+        rederive_pred_noise: bool = False,
+        *,
+        train: bool = False,
+        rng=None,
+    ) -> ModelPrediction:
+        model_output = self._apply_model(
+            params, x, t, x_self_cond, cond, train=train, rng=rng
+        )
+        maybe_clip = (
+            (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+        )
+
+        if self.objective == "pred_noise":
+            pred_noise = model_output
+            x_start = self.predict_start_from_noise(x, t, pred_noise)
+            x_start = maybe_clip(x_start)
+            if clip_x_start and rederive_pred_noise:
+                pred_noise = self.predict_noise_from_start(x, t, x_start)
+        elif self.objective == "pred_x0":
+            x_start = maybe_clip(model_output)
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        else:  # pred_v
+            x_start = maybe_clip(self.predict_start_from_v(x, t, model_output))
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+
+        return ModelPrediction(pred_noise, x_start)
+
+    def p_mean_variance(
+        self, params, x, t, x_self_cond=None, cond=None, clip_denoised: bool = True,
+        *, train: bool = False, rng=None,
+    ):
+        preds = self.model_predictions(
+            params, x, t, x_self_cond, cond, train=train, rng=rng
+        )
+        x_start = preds.pred_x_start
+        if clip_denoised:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+        model_mean, posterior_variance, posterior_log_variance = self.q_posterior(
+            x_start, x, t
+        )
+        return model_mean, posterior_variance, posterior_log_variance, x_start
+
+    # -------------------------------------------------------------- sampling
+
+    def p_sample_loop(
+        self, params, rng, shape, cond=None, return_all_timesteps: bool = False
+    ):
+        """Ancestral DDPM sampling — one `lax.scan` over all T steps."""
+        batch = shape[0]
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, jnp.float32)
+
+        def step(carry, t):
+            img, x_start, key = carry
+            key, noise_key = jax.random.split(key)
+            t_b = jnp.full((batch,), t, jnp.int32)
+            self_cond = x_start if self.self_condition else None
+            model_mean, _, model_log_variance, x_start = self.p_mean_variance(
+                params, img, t_b, self_cond, cond, clip_denoised=True
+            )
+            noise = jax.random.normal(noise_key, shape, jnp.float32)
+            # no noise at t == 0
+            noise = jnp.where(t > 0, noise, 0.0)
+            img = model_mean + jnp.exp(0.5 * model_log_variance) * noise
+            return (img, x_start, key), (img if return_all_timesteps else None)
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        (img, _, _), imgs = jax.lax.scan(step, (img0, jnp.zeros_like(img0), rng), ts)
+
+        if return_all_timesteps:
+            ret = jnp.concatenate([img0[:, None], jnp.moveaxis(imgs, 0, 1)], axis=1)
+        else:
+            ret = img
+        return self.unnormalize(ret)
+
+    def _ddim_time_pairs(self, sampling_timesteps: int):
+        """Static (time, time_next) pairs: [(T-1, ...), ..., (·, -1)]
+        (reference `ddim_sample` :672-674)."""
+        total = self.num_timesteps
+        times = np.linspace(-1, total - 1, num=sampling_timesteps + 1)
+        times = list(reversed(times.astype(np.int32).tolist()))
+        pairs = np.array(list(zip(times[:-1], times[1:])), dtype=np.int32)
+        return jnp.asarray(pairs)
+
+    def ddim_sample(
+        self,
+        params,
+        rng,
+        shape,
+        sampling_timesteps: Optional[int] = None,
+        eta: Optional[float] = None,
+        cond=None,
+        return_all_timesteps: bool = False,
+    ):
+        """DDIM sampling — one `lax.scan` over the S step pairs."""
+        sampling_timesteps = default(sampling_timesteps, self.sampling_timesteps)
+        eta = default(eta, self.ddim_sampling_eta)
+        batch = shape[0]
+        s = self.schedule
+
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, jnp.float32)
+        pairs = self._ddim_time_pairs(sampling_timesteps)
+
+        def step(carry, pair):
+            img, x_start, key = carry
+            time, time_next = pair[0], pair[1]
+            key, noise_key = jax.random.split(key)
+
+            t_b = jnp.full((batch,), time, jnp.int32)
+            self_cond = x_start if self.self_condition else None
+            pred_noise, x_start = self.model_predictions(
+                params, img, t_b, self_cond, cond,
+                clip_x_start=True, rederive_pred_noise=True,
+            )
+
+            alpha = s.alphas_cumprod[time]
+            # time_next == -1 ⇒ alpha_next = 1 ⇒ sigma = c = 0 ⇒ img = x_start,
+            # exactly the reference's explicit branch at :686-688.
+            alpha_next = jnp.where(
+                time_next < 0, 1.0, s.alphas_cumprod[jnp.maximum(time_next, 0)]
+            )
+
+            sigma = eta * jnp.sqrt(
+                jnp.maximum((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha), 0.0)
+            )
+            c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+            noise = jax.random.normal(noise_key, shape, jnp.float32)
+
+            img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            return (img, x_start, key), (img if return_all_timesteps else None)
+
+        (img, _, _), imgs = jax.lax.scan(
+            step, (img0, jnp.zeros_like(img0), rng), pairs
+        )
+
+        if return_all_timesteps:
+            ret = jnp.concatenate([img0[:, None], jnp.moveaxis(imgs, 0, 1)], axis=1)
+        else:
+            ret = img
+        return self.unnormalize(ret)
+
+    def sample(
+        self,
+        params,
+        rng,
+        batch_size: int = 16,
+        cond=None,
+        return_all_timesteps: bool = False,
+    ):
+        shape = self.sample_shape(batch_size)
+        if self.is_ddim_sampling:
+            return self.ddim_sample(
+                params, rng, shape, cond=cond, return_all_timesteps=return_all_timesteps
+            )
+        return self.p_sample_loop(
+            params, rng, shape, cond=cond, return_all_timesteps=return_all_timesteps
+        )
+
+    def interpolate(self, params, rng, x1, x2, t: Optional[int] = None, lam: float = 0.5):
+        """Spherical-ish latent interpolation (reference :786-803)."""
+        assert x1.shape == x2.shape
+        b = x1.shape[0]
+        t = default(t, self.num_timesteps - 1)
+
+        rng, k1, k2 = jax.random.split(rng, 3)
+        t_b = jnp.full((b,), t, jnp.int32)
+        xt1 = self.q_sample(x1, t_b, jax.random.normal(k1, x1.shape, jnp.float32))
+        xt2 = self.q_sample(x2, t_b, jax.random.normal(k2, x2.shape, jnp.float32))
+        img0 = (1 - lam) * xt1 + lam * xt2
+
+        def step(carry, i):
+            img, x_start, key = carry
+            key, noise_key = jax.random.split(key)
+            i_b = jnp.full((b,), i, jnp.int32)
+            self_cond = x_start if self.self_condition else None
+            model_mean, _, model_log_variance, x_start = self.p_mean_variance(
+                params, img, i_b, self_cond, clip_denoised=True
+            )
+            noise = jnp.where(
+                i > 0, jax.random.normal(noise_key, img.shape, jnp.float32), 0.0
+            )
+            img = model_mean + jnp.exp(0.5 * model_log_variance) * noise
+            return (img, x_start, key), None
+
+        ts = jnp.arange(t - 1, -1, -1)
+        (img, _, _), _ = jax.lax.scan(step, (img0, jnp.zeros_like(img0), rng), ts)
+        return img
+
+    # ------------------------------------------------------------------ loss
+
+    def p_losses(self, params, rng, x_start, t, cond=None, *, train: bool = True):
+        """Denoising loss for a normalized [-1,1] batch at timesteps `t`.
+
+        Mirrors reference `p_losses` (:823-891) with one deliberate efficiency
+        change: the hybrid (Improved-DDPM) KL term reuses the same denoiser
+        output as the MSE term instead of running a second forward pass — the
+        reference calls the model twice (:852 and :872), which is pure waste
+        under jit.
+        """
+        noise_key, offset_key, sc_coin_key, sc_rng, model_rng = jax.random.split(
+            rng, 5
+        )
+        x_start = x_start.astype(jnp.float32)
+        noise = jax.random.normal(noise_key, x_start.shape, jnp.float32)
+
+        if self.offset_noise_strength > 0.0:
+            # per-(batch, channel) DC offset — https://www.crosslabs.org/blog/diffusion-with-offset-noise
+            offset = jax.random.normal(
+                offset_key, (x_start.shape[0], x_start.shape[-1]), jnp.float32
+            )
+            noise = noise + self.offset_noise_strength * offset[:, None, None, :]
+
+        x = self.q_sample(x_start, t, noise)
+
+        x_self_cond = None
+        if self.self_condition:
+            def with_self_cond(op):
+                x_, t_ = op
+                pred = self.model_predictions(
+                    params, x_, t_, None, cond, train=train, rng=sc_rng
+                )
+                return jax.lax.stop_gradient(pred.pred_x_start)
+
+            def without_self_cond(op):
+                return jnp.zeros_like(op[0])
+
+            coin = jax.random.bernoulli(sc_coin_key, 0.5)
+            x_self_cond = jax.lax.cond(coin, with_self_cond, without_self_cond, (x, t))
+
+        model_out = self._apply_model(
+            params, x, t, x_self_cond, cond, train=train, rng=model_rng
+        )
+
+        if self.objective == "pred_noise":
+            target = noise
+        elif self.objective == "pred_x0":
+            target = x_start
+        else:  # pred_v
+            target = self.predict_v(x_start, t, noise)
+
+        loss = (model_out - target) ** 2
+        loss = jnp.mean(loss.reshape(loss.shape[0], -1), axis=-1)
+        loss = loss * extract(self.schedule.loss_weight, t, 1)
+
+        if self.hybrid_loss:
+            # L_vlb: KL(q(x_{t-1}|x_t,x_0) ‖ p_θ(x_{t-1}|x_t)), t>0 only,
+            # weighted by 0.001 (reference :870-889).
+            x_hat = self._pred_x_start_from_output(x, t, model_out)
+            x_hat = jnp.clip(x_hat, -1.0, 1.0)
+            model_mean, _, model_log_variance = self.q_posterior(x_hat, x, t)
+            posterior_mean, posterior_variance, posterior_log_variance = (
+                self.q_posterior(x_start, x, t)
+            )
+            kl = 0.5 * (
+                posterior_log_variance
+                - model_log_variance
+                + (jnp.exp(model_log_variance) + (model_mean - posterior_mean) ** 2)
+                / posterior_variance
+                - 1
+            )
+            kl = jnp.mean(kl.reshape(kl.shape[0], -1), axis=-1)
+            mask = (t > 0).astype(jnp.float32)
+            kl = jnp.sum(kl * mask) / (jnp.sum(mask) + 1e-8)
+            loss = loss + 0.001 * kl
+
+        return jnp.mean(loss)
+
+    def _pred_x_start_from_output(self, x, t, model_output):
+        if self.objective == "pred_noise":
+            return self.predict_start_from_noise(x, t, model_output)
+        if self.objective == "pred_x0":
+            return model_output
+        return self.predict_start_from_v(x, t, model_output)
+
+    def loss(self, params, rng, img, cond=None, *, train: bool = True):
+        """Full training objective for a [0,1] NHWC batch (reference
+        `forward` at :894-900): sample t ~ U[0,T), normalize, p_losses."""
+        b, h, w, c = img.shape
+        assert (h, w) == self.image_size, (
+            f"height/width of image must be {self.image_size}, got {(h, w)}"
+        )
+        t_key, loss_key = jax.random.split(rng)
+        t = jax.random.randint(t_key, (b,), 0, self.num_timesteps)
+        img = self.normalize(img)
+        return self.p_losses(params, loss_key, img, t, cond, train=train)

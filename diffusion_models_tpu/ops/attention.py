@@ -1,0 +1,71 @@
+"""Attention primitives for the denoiser networks.
+
+TPU-native equivalent of the reference's `Attend` wrapper
+(`denoising_diffusion/attend.py:38-124`): instead of dispatching between
+einsum-attention and torch SDPA with CUDA-arch heuristics, we expose one
+`dot_product_attention` whose matmuls hit the MXU directly; XLA fuses the
+scale/softmax chain. Softmax is accumulated in f32 regardless of the compute
+dtype (bf16-safe). Sequence lengths here are spatial H*W tokens (≤4096 at
+64×64 inputs), so a full O(N²) attention in VMEM is the fastest layout; a
+Pallas flash-attention path is provided in `ops/pallas/flash_attention.py`
+for longer sequences.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Multi-head attention over (B, H, N, D) tensors.
+
+    Matches the reference einsum path (`attend.py:109-124`): softmax over the
+    key axis with 1/sqrt(d) scaling (or an explicit `scale`).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    sim = sim * scale
+    attn = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
+    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    attn = attn.astype(v.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+
+def linear_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Linear (efficient) attention over (B, H, D, N) tensors.
+
+    Matches the reference's LinearAttention math
+    (`denoising_diffusion.py:184-191`): q softmaxed over its feature axis,
+    k softmaxed over the token axis, then two small D×D-contracted matmuls —
+    O(N·D²) instead of O(N²·D). Both contractions run on the MXU; softmaxes
+    accumulate in f32.
+    """
+    if scale is None:
+        scale = q.shape[-2] ** -0.5  # dim_head ** -0.5
+
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    q_sm = jnp.exp(q32 - jnp.max(q32, axis=-2, keepdims=True))
+    q_sm = (q_sm / jnp.sum(q_sm, axis=-2, keepdims=True)).astype(v.dtype)
+    k_sm = jnp.exp(k32 - jnp.max(k32, axis=-1, keepdims=True))
+    k_sm = (k_sm / jnp.sum(k_sm, axis=-1, keepdims=True)).astype(v.dtype)
+
+    q_sm = q_sm * scale
+    context = jnp.einsum(
+        "bhdn,bhen->bhde", k_sm, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    out = jnp.einsum(
+        "bhde,bhdn->bhen", context, q_sm, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out

@@ -1,0 +1,70 @@
+"""Device-mesh + sharding utilities — the framework's distribution layer.
+
+TPU-native replacement for the reference's NCCL data-parallel stack
+(HuggingFace `accelerate` DDP: `denoising_diffusion.py:971-974,1014,1046,
+1175-1185`). Instead of wrapping the model in DDP and letting NCCL all-reduce
+gradients, we:
+
+  1. build a `jax.sharding.Mesh` over all chips with a `data` axis
+     (multi-host: `jax.distributed.initialize` extends the same mesh over
+     DCN — the code here is identical),
+  2. shard the batch `NamedSharding(P('data'))` and replicate parameters
+     `NamedSharding(P())`,
+  3. `jit` the train step with those shardings — XLA inserts the gradient
+     all-reduce over ICI automatically (the NCCL equivalent, compiled into
+     the step program rather than called from host).
+
+`accelerate`'s `split_batches=True` semantics (global batch divided across
+processes) fall out naturally: the global batch array is sharded over the
+`data` axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """A 1-D (default) mesh over the first `n_devices` devices.
+
+    For the diffusion workloads here (U-Nets up to ~100M params) pure data
+    parallelism saturates ICI; `axis_names` can be extended (e.g.
+    ('data', 'model')) for larger denoisers.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def data_parallel_shardings(mesh: Mesh, data_axis: str = "data"):
+    """(batch_sharding, replicated_sharding) for a data-parallel step."""
+    return (
+        NamedSharding(mesh, P(data_axis)),
+        NamedSharding(mesh, P()),
+    )
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Place a host batch pytree onto the mesh, split along axis 0."""
+    sharding = NamedSharding(mesh, P(data_axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params / opt state / EMA) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,407 @@
+"""Training loop for diffusion models — the reference `Trainer` rebuilt for TPU.
+
+Capability parity with `denoising_diffusion.py:938-1249`: gradient
+accumulation, grad clipping at `max_grad_norm`, Adam(0.9, 0.99), EMA
+(β=0.995 every 10 steps) used for all sampling/eval, periodic sample grids +
+FID/IS, milestone checkpoints with best/latest tracking, TensorBoard scalars,
+and a `training_params.json` dump.
+
+TPU-native architecture (vs. the reference's Accelerate/DDP loop):
+
+  - ONE jitted, donated train step containing: microbatch `lax.scan` for
+    gradient accumulation, loss/grad, global-norm clip, Adam update, and the
+    EMA tick. The reference's per-step barriers
+    (`accelerator.wait_for_everyone`, :1179,1185) have no equivalent —
+    SPMD programs are globally synchronized by construction.
+  - Data parallelism by sharding: batches are placed with
+    `NamedSharding(P(None, 'data'))` over the mesh; XLA inserts the gradient
+    all-reduce over ICI inside the compiled step (replacing NCCL DDP,
+    :971-974,1175).
+  - `split_batches=True` semantics: `train_batch_size` is the *global* batch,
+    divided across devices by the sharding.
+  - RNG is derived per-step by `fold_in(seed_key, step)` — resuming from a
+    checkpoint reproduces the exact noise sequence.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_models_tpu.parallel.mesh import make_mesh
+from diffusion_models_tpu.utils.checkpoint import CheckpointManager
+from diffusion_models_tpu.utils.data import DataLoader, ImageFolderDataset
+from diffusion_models_tpu.utils.ema import EMAState, ema_init, ema_update
+from diffusion_models_tpu.utils.helpers import (
+    cycle,
+    default,
+    exists,
+    has_int_squareroot,
+    num_to_groups,
+)
+from diffusion_models_tpu.utils.image import save_image_grid
+from diffusion_models_tpu.utils.logging import MetricWriter
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: any
+    opt_state: any
+    ema: EMAState
+
+
+class Trainer:
+    """Unconditional-diffusion trainer. Conditional trainers subclass and
+    override the batch→(img, cond) mapping plus sampling-time conditioning."""
+
+    def __init__(
+        self,
+        diffusion_model,
+        folder: Optional[str] = None,
+        *,
+        dataset=None,
+        train_batch_size: int = 16,
+        gradient_accumulate_every: int = 1,
+        augment_horizontal_flip: bool = True,
+        train_lr: float = 1e-4,
+        train_num_steps: int = 100000,
+        ema_update_every: int = 10,
+        ema_decay: float = 0.995,
+        adam_betas=(0.9, 0.99),
+        save_and_sample_every: int = 1000,
+        num_samples: int = 25,
+        results_folder: str = "./results",
+        convert_image_to: Optional[str] = None,
+        calculate_fid: bool = True,
+        calculate_is: bool = False,
+        inception_weights: Optional[str] = None,
+        max_grad_norm: float = 1.0,
+        num_fid_samples: int = 50000,
+        save_best_and_latest_only: bool = False,
+        mesh=None,
+        seed: int = 0,
+        num_workers: int = 8,
+    ):
+        assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
+        self.diffusion = diffusion_model
+        self.batch_size = train_batch_size
+        self.gradient_accumulate_every = gradient_accumulate_every
+        assert (
+            train_batch_size * gradient_accumulate_every >= 16
+        ), "your effective batch size should be at least 16"
+        self.train_num_steps = train_num_steps
+        self.save_and_sample_every = save_and_sample_every
+        self.num_samples = num_samples
+        self.max_grad_norm = max_grad_norm
+        self.ema_decay = ema_decay
+        self.ema_update_every = ema_update_every
+        self.train_lr = train_lr
+        self.adam_betas = tuple(adam_betas)
+        self.seed = seed
+        self.num_fid_samples = num_fid_samples
+        self.save_best_and_latest_only = save_best_and_latest_only
+        self.calculate_fid = calculate_fid
+        self.calculate_is = calculate_is
+        self.inception_weights = inception_weights
+
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.writer = MetricWriter(self.results_folder / "tensorboard_logs")
+        self.ckpt = CheckpointManager(self.results_folder)
+
+        # --- mesh & shardings (data parallel over all devices)
+        self.mesh = make_mesh() if mesh is None else mesh
+        self.batch_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        # --- data
+        if dataset is None:
+            assert exists(folder), "provide either `folder` or `dataset`"
+            dataset = self.build_dataset(
+                folder,
+                augment_horizontal_flip=augment_horizontal_flip,
+                convert_image_to=convert_image_to,
+            )
+        self.dataset = dataset
+        self.folder = folder
+        self.dl = cycle(
+            DataLoader(
+                dataset,
+                batch_size=train_batch_size,
+                num_workers=num_workers,
+                seed=seed,
+            )
+        )
+
+        # --- optimizer
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(train_lr, b1=adam_betas[0], b2=adam_betas[1]),
+        )
+
+        # --- state
+        params = self.diffusion.init(jax.random.PRNGKey(seed))
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            ema=ema_init(params),
+        )
+        self.state = jax.device_put(self.state, self.replicated)
+        self._base_rng = jax.random.PRNGKey(seed + 1)
+
+        self._train_step = self._build_train_step()
+        self._fid_scorer = None
+        self._is_scorer = None
+        self.best_fid = 1e10
+
+        self.save_training_params()
+
+    # ---------------------------------------------------------------- hooks
+
+    @property
+    def data_image_size(self):
+        """Dataset resolution: pixel size for latent models, else image_size."""
+        return getattr(
+            self.diffusion, "pixel_image_size", self.diffusion.image_size
+        )
+
+    def build_dataset(self, folder, *, augment_horizontal_flip, convert_image_to):
+        return ImageFolderDataset(
+            folder,
+            self.data_image_size,
+            augment_horizontal_flip=augment_horizontal_flip,
+            convert_image_to=convert_image_to,
+        )
+
+    def batch_to_args(self, batch):
+        """batch → (img, cond). Base: unconditional."""
+        return batch, None
+
+    def sample_cond(self, n: int, rng: np.random.Generator):
+        """Sampling-time conditioning draw. Base: none."""
+        return None
+
+    # ----------------------------------------------------------- train step
+
+    def _loss_fn(self, params, rng, batch):
+        img, cond = self.batch_to_args(batch)
+        return self.diffusion.loss(params, rng, img, cond=cond, train=True)
+
+    def _build_train_step(self):
+        accum = self.gradient_accumulate_every
+        tx = self.tx
+
+        def step_fn(state: TrainState, batch, base_rng):
+            rng = jax.random.fold_in(base_rng, state.step)
+            keys = jax.random.split(rng, accum)
+
+            grad_fn = jax.value_and_grad(self._loss_fn)
+
+            if accum == 1:
+                loss, grads = grad_fn(
+                    state.params, keys[0],
+                    jax.tree_util.tree_map(lambda x: x[0], batch),
+                )
+            else:
+                def micro(carry, xs):
+                    loss_acc, grads_acc = carry
+                    key, mb = xs
+                    loss, grads = grad_fn(state.params, key, mb)
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    return (loss_acc + loss, grads_acc), None
+
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (loss_sum, grads), _ = jax.lax.scan(
+                    micro, (0.0, zero_grads), (keys, batch)
+                )
+                loss = loss_sum / accum
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = ema_update(
+                state.ema,
+                params,
+                beta=self.ema_decay,
+                update_every=self.ema_update_every,
+            )
+            new_state = TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state, ema=ema
+            )
+            return new_state, loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _put_batch(self, batches):
+        """Stack `accum` host batches → (accum, B, ...) on the data mesh."""
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *batches
+        )
+        return jax.device_put(stacked, self.batch_sharding)
+
+    def next_batch(self):
+        return self._put_batch(
+            [next(self.dl) for _ in range(self.gradient_accumulate_every)]
+        )
+
+    # ------------------------------------------------------------- sampling
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _jit_sample(self, params, rng, batch_size, cond=None):
+        return self.diffusion.sample(params, rng, batch_size, cond=cond)
+
+    def generate_samples(self, total: int, rng_seed: int = 0):
+        """Generate `total` EMA samples in train_batch_size chunks, as one
+        stacked [0,1] NHWC numpy array."""
+        ema_params = self.state.ema.params
+        rng = jax.random.PRNGKey(rng_seed)
+        np_rng = np.random.default_rng(rng_seed)
+        chunks = []
+        for n in num_to_groups(total, self.batch_size):
+            rng, key = jax.random.split(rng)
+            cond = self.sample_cond(n, np_rng)
+            out = self._jit_sample(ema_params, key, n, cond)
+            chunks.append(np.asarray(out))
+        return np.concatenate(chunks, axis=0)
+
+    # ------------------------------------------------------------------ fid
+
+    def _ensure_eval_stack(self):
+        if not (self.calculate_fid or self.calculate_is):
+            return
+        from diffusion_models_tpu.training.evaluation import (
+            FIDEvaluation,
+            InceptionScoreEvaluation,
+        )
+
+        if self.calculate_fid and self._fid_scorer is None:
+            self._fid_scorer = FIDEvaluation(
+                batch_size=self.batch_size,
+                data_loader=self.dataset,
+                stats_dir=self.results_folder,
+                num_fid_samples=self.num_fid_samples,
+                weights_path=self.inception_weights,
+            )
+        if self.calculate_is and self._is_scorer is None:
+            self._is_scorer = InceptionScoreEvaluation(
+                batch_size=self.batch_size,
+                log_file=self.results_folder / "inception_score_log.txt",
+                weights_path=self.inception_weights,
+            )
+
+    # ------------------------------------------------------------ save/load
+
+    def _state_dict(self):
+        return {
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "ema_params": self.state.ema.params,
+            "ema_step": self.state.ema.step,
+        }
+
+    def save(self, milestone):
+        self.ckpt.save(milestone, self._state_dict())
+
+    def load(self, milestone):
+        restored = self.ckpt.restore(milestone, self._state_dict())
+        self.state = TrainState(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            ema=EMAState(
+                params=restored["ema_params"],
+                step=jnp.asarray(restored["ema_step"], jnp.int32),
+            ),
+        )
+        self.state = jax.device_put(self.state, self.replicated)
+
+    def save_training_params(self):
+        """JSON dump of all JSON-able config attrs
+        (reference `save_training_params`, :1136-1148)."""
+        out = {}
+        for k, v in vars(self).items():
+            try:
+                json.dumps(v)
+                out[k] = v
+            except (TypeError, ValueError):
+                continue
+        out["results_folder"] = str(self.results_folder)
+        out["image_size"] = list(self.diffusion.image_size)
+        out["timesteps"] = self.diffusion.num_timesteps
+        out["objective"] = self.diffusion.objective
+        model = self.diffusion.model
+        out["unet_dim"] = getattr(model, "dim", None)
+        out["unet_dim_mults"] = list(getattr(model, "dim_mults", ()))
+        out["channels"] = getattr(model, "channels", 3)
+        with open(self.results_folder / "training_params.json", "w") as f:
+            json.dump(out, f, indent=2)
+
+    # ---------------------------------------------------------------- train
+
+    def train(self, log_every: int = 1):
+        self._ensure_eval_stack()
+        step = int(self.state.step)
+        t0 = time.time()
+        while step < self.train_num_steps:
+            batch = self.next_batch()
+            self.state, loss = self._train_step(self.state, batch, self._base_rng)
+            step += 1
+
+            if step % log_every == 0:
+                loss_val = float(loss)
+                self.writer.scalar("Train/Loss", loss_val, step)
+            if step % 100 == 0:
+                rate = 100 / max(time.time() - t0, 1e-9)
+                self.writer.scalar("Train/steps_per_sec", rate, step)
+                t0 = time.time()
+
+            if step != 0 and step % self.save_and_sample_every == 0:
+                self._milestone_eval(step)
+
+        self.writer.scalar("Train/Loss", float(loss), step)
+        print("training complete")
+
+    def _milestone_eval(self, step: int):
+        milestone = step // self.save_and_sample_every
+
+        # sample grid from EMA weights
+        samples = self.generate_samples(self.num_samples, rng_seed=milestone)
+        grid_path = self.results_folder / f"sample-{milestone}.png"
+        save_image_grid(samples, grid_path, nrow=int(np.sqrt(self.num_samples)))
+        self.writer.image("Samples", np.asarray(samples[0]), step)
+
+        fid = None
+        if self.calculate_fid and self._fid_scorer is not None:
+            fakes = self.generate_samples(self.num_fid_samples, rng_seed=10_000 + milestone)
+            fid = self._fid_scorer.fid_score(fakes)
+            self.writer.scalar("Eval/FID", fid, step)
+            print(f"fid_score: {fid}")
+            if self.calculate_is and self._is_scorer is not None:
+                is_mean, is_std = self._is_scorer.calculate_inception_score(fakes, step)
+                self.writer.scalar("Eval/IS", is_mean, step)
+                print(f"inception_score: {is_mean} ± {is_std}")
+        elif self.calculate_is and self._is_scorer is not None:
+            fakes = self.generate_samples(self.num_fid_samples, rng_seed=10_000 + milestone)
+            is_mean, is_std = self._is_scorer.calculate_inception_score(fakes, step)
+            self.writer.scalar("Eval/IS", is_mean, step)
+
+        if self.save_best_and_latest_only:
+            if fid is not None and fid < self.best_fid:
+                self.best_fid = fid
+                self.save("best")
+            self.save("latest")
+        else:
+            self.save(milestone)

@@ -1,0 +1,298 @@
+"""VQ-VAE / KL-VAE adversarial training loop.
+
+Replaces the reference's Lightning machinery (`train_VAE.py:76-112`,
+`VQModel.training_step` manual two-optimizer optimization,
+`ldm/models/autoencoder.py:170-215`) with a plain JAX loop:
+
+  - ONE jitted, donated step containing BOTH phases of the manual
+    optimization: autoencoder (reconstruction + codebook + adaptive-weight
+    GAN) update, then discriminator (hinge) update on the same
+    reconstruction, exactly the reference's sequential order
+    (`autoencoder.py:178-207`).
+  - Adam(0.5, 0.9) for both optimizers (`autoencoder.py:251-282`).
+  - The adaptive discriminator weight ‖∇_last nll‖/‖∇_last g‖ is computed by
+    differentiating closures over ONLY the decoder's final conv kernel
+    (reference uses `last_layer=decoder.conv_out.weight`,
+    `autoencoder.py:186-193`).
+  - Data parallel over the mesh exactly like the diffusion Trainer.
+  - Periodic val reconstruction dumps (orig ‖ recon side-by-side PNGs +
+    latents) mirror the Lightning `SampleCallback`
+    (`train/utils/callback.py:23-69`).
+
+Inputs are [-1,1] NHWC (the reference's Normalize transform,
+`train_VAE.py:33-37`).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_models_tpu.models.discriminator import NLayerDiscriminator
+from diffusion_models_tpu.parallel.mesh import make_mesh
+from diffusion_models_tpu.training.vae_losses import VQLPIPSWithDiscriminator
+from diffusion_models_tpu.utils.checkpoint import CheckpointManager
+from diffusion_models_tpu.utils.data import DataLoader, ImageFolderDataset
+from diffusion_models_tpu.utils.helpers import cycle
+from diffusion_models_tpu.utils.image import save_image_grid
+from diffusion_models_tpu.utils.logging import MetricWriter
+
+
+@struct.dataclass
+class VAETrainState:
+    step: jnp.ndarray
+    g_params: any
+    g_opt: any
+    d_params: any
+    d_opt: any
+
+
+class VAETrainer:
+    def __init__(
+        self,
+        model,  # VQModel flax module
+        train_folder,
+        val_folder: Optional[str] = None,
+        *,
+        loss: Optional[VQLPIPSWithDiscriminator] = None,
+        batch_size: int = 128,
+        learning_rate: float = 4.5e-6,
+        train_num_steps: int = 100000,
+        sample_every: int = 1000,
+        save_every: int = 1000,
+        results_folder: str = "./results_vae",
+        image_size: Optional[int] = None,
+        mesh=None,
+        seed: int = 0,
+        num_workers: int = 8,
+    ):
+        self.model = model
+        self.loss = loss or VQLPIPSWithDiscriminator(
+            disc_start=0, disc_weight=0.75, codebook_weight=1.0
+        )
+        self.disc = NLayerDiscriminator(
+            input_nc=self.loss.disc_in_channels,
+            ndf=self.loss.disc_ndf,
+            n_layers=self.loss.disc_num_layers,
+        )
+        self.batch_size = batch_size
+        self.train_num_steps = train_num_steps
+        self.sample_every = sample_every
+        self.save_every = save_every
+        self.image_size = image_size or model.ddconfig["resolution"]
+
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.writer = MetricWriter(self.results_folder / "tensorboard_logs")
+        self.ckpt = CheckpointManager(self.results_folder)
+
+        self.mesh = make_mesh() if mesh is None else mesh
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        self.train_ds = ImageFolderDataset(
+            train_folder, self.image_size, augment_horizontal_flip=False
+        )
+        self.val_ds = (
+            ImageFolderDataset(val_folder, self.image_size)
+            if val_folder
+            else self.train_ds
+        )
+        self.dl = cycle(
+            DataLoader(
+                self.train_ds, batch_size=batch_size,
+                num_workers=num_workers, seed=seed,
+            )
+        )
+
+        # two Adam(0.5, 0.9) optimizers (reference `autoencoder.py:251-282`)
+        self.g_tx = optax.adam(learning_rate, b1=0.5, b2=0.9)
+        self.d_tx = optax.adam(learning_rate, b1=0.5, b2=0.9)
+
+        rng = jax.random.PRNGKey(seed)
+        g_rng, d_rng = jax.random.split(rng)
+        x0 = jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32)
+        g_params = self.model.init({"params": g_rng, "dropout": g_rng}, x0)[
+            "params"
+        ]
+        d_params = self.disc.init({"params": d_rng}, x0)["params"]
+        self.state = VAETrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_opt=self.g_tx.init(g_params),
+            d_params=d_params,
+            d_opt=self.d_tx.init(d_params),
+        )
+        self.state = jax.device_put(self.state, self.replicated)
+        self._base_rng = jax.random.PRNGKey(seed + 1)
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------ step
+
+    def _reconstruct(self, g_params, x, rng):
+        return self.model.apply(
+            {"params": g_params}, x, train=True, rngs={"dropout": rng}
+        )
+
+    def _build_step(self):
+        loss_mod = self.loss
+
+        def set_last(g_params, last_w):
+            dec = dict(g_params["decoder"])
+            conv_out = dict(dec["conv_out"])
+            conv_out["kernel"] = last_w
+            dec["conv_out"] = conv_out
+            out = dict(g_params)
+            out["decoder"] = dec
+            return out
+
+        def step_fn(state: VAETrainState, x, base_rng):
+            rng = jax.random.fold_in(base_rng, state.step)
+            step_f = state.step.astype(jnp.float32)
+
+            # ---------- phase 1: autoencoder/generator
+            def gen_loss(g_params):
+                xrec, qloss, _ = self._reconstruct(g_params, x, rng)
+                nll = loss_mod.reconstruction_loss(x, xrec)
+                logits_fake = self.disc.apply({"params": state.d_params}, xrec)
+
+                # adaptive d_weight via grads w.r.t. last decoder conv only
+                last_w = g_params["decoder"]["conv_out"]["kernel"]
+
+                def nll_of(lw):
+                    xr, _, _ = self._reconstruct(set_last(g_params, lw), x, rng)
+                    return loss_mod.reconstruction_loss(x, xr)
+
+                def g_of(lw):
+                    xr, _, _ = self._reconstruct(set_last(g_params, lw), x, rng)
+                    return -jnp.mean(self.disc.apply({"params": state.d_params}, xr))
+
+                from diffusion_models_tpu.training.vae_losses import (
+                    adaptive_d_weight,
+                )
+
+                d_weight = adaptive_d_weight(
+                    jax.grad(nll_of)(last_w),
+                    jax.grad(g_of)(last_w),
+                    loss_mod.discriminator_weight,
+                )
+                total, aux = loss_mod.generator_loss(
+                    qloss, nll, logits_fake, d_weight, state.step
+                )
+                aux["xrec"] = xrec
+                return total, aux
+
+            (g_total, aux), g_grads = jax.value_and_grad(gen_loss, has_aux=True)(
+                state.g_params
+            )
+            g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+            g_params = optax.apply_updates(state.g_params, g_updates)
+
+            # ---------- phase 2: discriminator (on the pre-update xrec,
+            # matching the reference's sequential manual optimization)
+            xrec = jax.lax.stop_gradient(aux.pop("xrec"))
+
+            def disc_loss(d_params):
+                logits_real = self.disc.apply({"params": d_params}, x)
+                logits_fake = self.disc.apply({"params": d_params}, xrec)
+                return loss_mod.discriminator_loss(
+                    logits_real, logits_fake, state.step
+                )
+
+            d_total, d_grads = jax.value_and_grad(disc_loss)(state.d_params)
+            d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+
+            new_state = VAETrainState(
+                step=state.step + 1,
+                g_params=g_params,
+                g_opt=g_opt,
+                d_params=d_params,
+                d_opt=d_opt,
+            )
+            metrics = {"aeloss": g_total, "discloss": d_total, **aux}
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------ loop
+
+    def next_batch(self):
+        batch = next(self.dl) * 2.0 - 1.0  # [-1,1] (train_VAE.py:33-37)
+        return jax.device_put(batch.astype(np.float32), self.batch_sharding)
+
+    def train(self):
+        step = int(self.state.step)
+        while step < self.train_num_steps:
+            batch = self.next_batch()
+            self.state, metrics = self._step_fn(self.state, batch, self._base_rng)
+            step += 1
+            if step % 10 == 0:
+                for k in ("aeloss", "discloss", "nll_loss", "quant_loss"):
+                    if k in metrics:
+                        self.writer.scalar(f"train/{k}", float(metrics[k]), step)
+            if step % self.sample_every == 0:
+                self.sample_reconstructions(step)
+            if step % self.save_every == 0:
+                self.save(step // self.save_every)
+        print("vae training complete")
+
+    # ------------------------------------------------------- eval / ckpt
+
+    def sample_reconstructions(self, step: int, n: int = 8):
+        """orig ‖ recon side-by-side (SampleCallback parity)."""
+        x = np.stack([self.val_ds.get(i) for i in range(min(n, len(self.val_ds)))])
+        x = x * 2.0 - 1.0
+        xrec, _, _ = self.model.apply(
+            {"params": self.state.g_params}, jnp.asarray(x)
+        )
+        xrec = np.asarray(xrec)
+        pair = np.concatenate([x, xrec], axis=2)  # side-by-side along width
+        pair = (pair + 1.0) / 2.0
+        save_image_grid(
+            pair, self.results_folder / f"recon-{step}.png", nrow=1
+        )
+        # latents for inspection (reference saves latents .pt)
+        quant, _, _ = self.model.apply(
+            {"params": self.state.g_params}, jnp.asarray(x),
+            method=self.model.encode,
+        )
+        np.save(self.results_folder / f"latents-{step}.npy", np.asarray(quant))
+
+    def save(self, milestone):
+        self.ckpt.save(
+            milestone,
+            {
+                "step": self.state.step,
+                "g_params": self.state.g_params,
+                "g_opt": self.state.g_opt,
+                "d_params": self.state.d_params,
+                "d_opt": self.state.d_opt,
+            },
+        )
+
+    def load(self, milestone):
+        template = {
+            "step": self.state.step,
+            "g_params": self.state.g_params,
+            "g_opt": self.state.g_opt,
+            "d_params": self.state.d_params,
+            "d_opt": self.state.d_opt,
+        }
+        restored = self.ckpt.restore(milestone, template)
+        self.state = VAETrainState(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            g_params=restored["g_params"],
+            g_opt=restored["g_opt"],
+            d_params=restored["d_params"],
+            d_opt=restored["d_opt"],
+        )
+        self.state = jax.device_put(self.state, self.replicated)

@@ -1,0 +1,298 @@
+"""Host-side input pipeline: folder datasets + a threaded prefetching loader.
+
+Behavioral parity with the reference dataset classes:
+  - `Dataset` (folder of images)          — `denoising_diffusion.py:904-934`
+    and `train/utils/data.py:17-47`
+  - `ImageConditionalDataset` (cond/target pairs, `<id>_A` / `<id>_B`)
+                                          — `train/utils/data.py:51-100`
+  - `TextConditionalDataset` (images + precomputed CLIP-embedding pickle
+    `{stem: {captions, embeddings}}`)     — `train/utils/data.py:103-218`
+
+TPU-native design: instead of torch DataLoader worker *processes* feeding a
+GPU, decoding runs in a thread pool (PIL releases the GIL for decode) into
+pinned NumPy batches which the Trainer `device_put`s asynchronously with a
+`NamedSharding` over the data axis — the host pipeline overlaps with the
+previous device step.
+
+Transform semantics match torchvision's
+`Resize(size) → [RandomHorizontalFlip] → CenterCrop(size) → ToTensor`:
+an int `size` resizes the short side then center-crops square; output is
+float32 [0,1] **NHWC** (TPU conv layout), not NCHW.
+"""
+
+from __future__ import annotations
+
+import pickle
+import queue
+import threading
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from diffusion_models_tpu.utils.helpers import exists
+
+IMG_EXTS = ("jpg", "jpeg", "png", "tiff")
+
+
+def resize_and_center_crop(img: Image.Image, image_size) -> Image.Image:
+    """torchvision `Resize(int)` (short side) + `CenterCrop` equivalent."""
+    if isinstance(image_size, int):
+        th = tw = image_size
+        w, h = img.size
+        short = min(w, h)
+        scale = image_size / short
+        img = img.resize(
+            (max(1, round(w * scale)), max(1, round(h * scale))), Image.BILINEAR
+        )
+    else:
+        th, tw = image_size
+        img = img.resize((tw, th), Image.BILINEAR)
+    w, h = img.size
+    left = (w - tw) // 2
+    top = (h - th) // 2
+    return img.crop((left, top, left + tw, top + th))
+
+
+def _load_transformed(
+    path,
+    image_size,
+    rng: Optional[np.random.Generator],
+    augment_horizontal_flip: bool,
+    convert_image_to: Optional[str],
+) -> np.ndarray:
+    img = Image.open(path)
+    if exists(convert_image_to) and img.mode != convert_image_to:
+        img = img.convert(convert_image_to)
+    elif img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    img = resize_and_center_crop(img, image_size)
+    flip = (
+        augment_horizontal_flip
+        and rng is not None
+        and rng.random() < 0.5
+    )
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+class ImageFolderDataset:
+    """Recursive folder of images → float32 [0,1] HWC items."""
+
+    def __init__(
+        self,
+        folder,
+        image_size,
+        exts: Sequence[str] = IMG_EXTS,
+        augment_horizontal_flip: bool = False,
+        convert_image_to: Optional[str] = None,
+    ):
+        self.folder = Path(folder)
+        self.image_size = image_size
+        self.paths = sorted(
+            p for ext in exts for p in self.folder.glob(f"**/*.{ext}")
+        )
+        assert len(self.paths) > 0, f"no images found under {folder}"
+        self.augment_horizontal_flip = augment_horizontal_flip
+        self.convert_image_to = convert_image_to
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        return _load_transformed(
+            self.paths[index],
+            self.image_size,
+            rng,
+            self.augment_horizontal_flip,
+            self.convert_image_to,
+        )
+
+
+class ImageConditionalDataset:
+    """Paired condition/target folders: `condition/<id>_A.*`, `target/<id>_B.jpg`.
+
+    Items are `(target, cond)` tuples, matching the reference ordering
+    (`train/utils/data.py:100`).
+    """
+
+    def __init__(
+        self,
+        root,
+        image_size,
+        augment_horizontal_flip: bool = False,
+        convert_image_to: Optional[str] = None,
+    ):
+        self.root = Path(root)
+        self.image_size = image_size
+        self.cond_paths = sorted((self.root / "condition").glob("*.*"))
+        self.target_folder = self.root / "target"
+        assert len(self.cond_paths) > 0, f"no condition images under {root}"
+        self.augment_horizontal_flip = augment_horizontal_flip
+        self.convert_image_to = convert_image_to
+
+    def __len__(self):
+        return len(self.cond_paths)
+
+    def _target_path(self, cond_path: Path) -> Path:
+        prefix = cond_path.stem.split("_")[0]
+        for ext in ("jpg", "jpeg", "png"):
+            cand = self.target_folder / f"{prefix}_B.{ext}"
+            if cand.exists():
+                return cand
+        return self.target_folder / f"{prefix}_B.jpg"
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        cond_path = self.cond_paths[index]
+        load = lambda p: _load_transformed(
+            p, self.image_size, rng, self.augment_horizontal_flip, "RGB"
+        )
+        return load(self._target_path(cond_path)), load(cond_path)
+
+
+class TextConditionalDataset:
+    """Images + precomputed text embeddings.
+
+    Folder layout `root/{condition/*.txt, target/*.img}`; embeddings pickle
+    schema `{stem: {"captions": [...], "embeddings": (num_captions, D)}}` —
+    identical to the reference's precompute output
+    (`train/utils/data.py:176-192`), so pickles are interchangeable between
+    frameworks. Items are `(target, text_emb)`.
+    """
+
+    def __init__(
+        self,
+        root,
+        image_size,
+        augment_horizontal_flip: bool = False,
+        convert_image_to: Optional[str] = None,
+        embedding_file=None,
+        text_emb_dim: int = 512,
+    ):
+        self.root = Path(root)
+        self.image_size = image_size
+        self.target_paths = sorted((self.root / "target").glob("*.*"))
+        assert len(self.target_paths) > 0, f"no target images under {root}"
+        self.augment_horizontal_flip = augment_horizontal_flip
+        self.convert_image_to = convert_image_to
+        self.text_emb_dim = text_emb_dim
+
+        self.embedding_file = Path(
+            embedding_file if exists(embedding_file) else self.root / "text_embeddings.pkl"
+        )
+        if self.embedding_file.exists():
+            with open(self.embedding_file, "rb") as f:
+                self.embeddings_dict = pickle.load(f)
+        else:
+            from diffusion_models_tpu.utils.clip_embeddings import (
+                precompute_text_embeddings,
+            )
+
+            self.embeddings_dict = precompute_text_embeddings(
+                self.root / "condition", self.embedding_file
+            )
+
+    def __len__(self):
+        return len(self.target_paths)
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        path = self.target_paths[index]
+        target = _load_transformed(
+            path, self.image_size, rng, self.augment_horizontal_flip, "RGB"
+        )
+        data = self.embeddings_dict.get(path.stem)
+        if data is not None:
+            embs = np.asarray(data["embeddings"], dtype=np.float32)
+            idx = int(rng.integers(embs.shape[0])) if rng is not None else 0
+            text_emb = embs[idx]
+        else:
+            text_emb = np.zeros((self.text_emb_dim,), np.float32)
+        return target, text_emb
+
+    def random_embeddings(self, n: int, rng: np.random.Generator):
+        """Draw n random (caption, embedding) pairs for sampling-time
+        conditioning (reference `..._text_conditional.py:320-363`)."""
+        stems = [s for s, d in self.embeddings_dict.items() if d is not None]
+        captions, embs = [], []
+        for _ in range(n):
+            stem = stems[int(rng.integers(len(stems)))]
+            d = self.embeddings_dict[stem]
+            j = int(rng.integers(len(d["captions"])))
+            captions.append(d["captions"][j])
+            embs.append(np.asarray(d["embeddings"][j], dtype=np.float32))
+        return captions, np.stack(embs)
+
+
+class DataLoader:
+    """Infinite shuffled batch iterator with threaded decode + prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def _index_stream(self):
+        rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        while True:
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
+                yield order[i : i + self.batch_size]
+
+    @staticmethod
+    def _collate(items):
+        first = items[0]
+        if isinstance(first, tuple):
+            return tuple(
+                np.stack([it[j] for it in items]) for j in range(len(first))
+            )
+        return np.stack(items)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_batch(idxs, epoch_seed):
+            rngs = [
+                np.random.default_rng((epoch_seed, int(i))) for i in idxs
+            ]
+            items = list(
+                pool.map(lambda a: self.dataset.get(int(a[0]), a[1]), zip(idxs, rngs))
+            )
+            return self._collate(items)
+
+        def producer():
+            for step, idxs in enumerate(self._index_stream()):
+                if stop.is_set():
+                    return
+                q.put(load_batch(idxs, self.seed + step))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

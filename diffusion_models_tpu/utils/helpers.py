@@ -1,0 +1,57 @@
+"""Small framework-wide helpers.
+
+Behavioral parity with the reference helper set
+(`denoising_diffusion/utils.py:3-49` in lbarseghyan/diffusion-models).
+"""
+
+import math
+
+
+def exists(x):
+    return x is not None
+
+
+def default(val, d):
+    if exists(val):
+        return val
+    return d() if callable(d) else d
+
+
+def cast_tuple(t, length=1):
+    if isinstance(t, tuple):
+        return t
+    return (t,) * length
+
+
+def divisible_by(numer, denom):
+    return (numer % denom) == 0
+
+
+def identity(t, *args, **kwargs):
+    return t
+
+
+def cycle(iterable):
+    while True:
+        for data in iterable:
+            yield data
+
+
+def has_int_squareroot(num):
+    return (math.isqrt(num) ** 2) == num
+
+
+def num_to_groups(num, divisor):
+    groups, remainder = divmod(num, divisor)
+    arr = [divisor] * groups
+    if remainder > 0:
+        arr.append(remainder)
+    return arr
+
+
+def normalize_to_neg_one_to_one(img):
+    return img * 2 - 1
+
+
+def unnormalize_to_zero_to_one(t):
+    return (t + 1) * 0.5

@@ -1,0 +1,57 @@
+"""Metric/observability writer.
+
+Covers the reference's TensorBoard surface (`denoising_diffusion.py:1158,
+1189,1206,1225,1231`: Train/Loss scalars, sample-grid images, Eval/FID,
+Eval/IS) with a tensorboardX backend, plus an always-on JSONL mirror so runs
+remain inspectable without TensorBoard.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+class MetricWriter:
+    def __init__(self, logdir, use_tensorboard: bool = True):
+        self.logdir = Path(logdir)
+        self.logdir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.logdir / "metrics.jsonl", "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.logdir))
+            except Exception:
+                self._tb = None
+
+    def scalar(self, tag: str, value, step: int):
+        value = float(value)
+        self._jsonl.write(
+            json.dumps({"tag": tag, "value": value, "step": int(step), "t": time.time()})
+            + "\n"
+        )
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def image(self, tag: str, img_hwc: np.ndarray, step: int):
+        """img_hwc: float [0,1] or uint8 HWC."""
+        if self._tb is not None:
+            img = np.asarray(img_hwc)
+            if img.dtype != np.uint8:
+                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            self._tb.add_image(tag, img, step, dataformats="HWC")
+
+    def text(self, tag: str, text: str, step: int):
+        if self._tb is not None:
+            self._tb.add_text(tag, text, step)
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

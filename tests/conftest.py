@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; the sharding tests exercise
+the identical pjit/NamedSharding code paths on 8 fake CPU devices.
+
+Note: the environment's sitecustomize imports jax and registers the `axon`
+TPU plugin in every interpreter, so JAX_PLATFORMS env tweaks are too late —
+the platform must be forced via jax.config before first backend use.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+# NOTE: the persistent compilation cache is deliberately NOT enabled here —
+# XLA:CPU AOT reload on this host trips a machine-feature mismatch
+# (+prefer-no-scatter/-gather) that can abort the process.
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"

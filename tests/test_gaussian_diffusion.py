@@ -1,0 +1,221 @@
+"""Tests for the GaussianDiffusion process: numerics oracles + end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+from diffusion_models_tpu.models.unet import Unet
+
+
+def tiny_diffusion(**kwargs):
+    model = Unet(dim=16, dim_mults=(1, 2), channels=3)
+    # cosine schedule: at T=20 the reference-parity *linear* schedule has
+    # beta_end = (1000/20)*0.02 = 1.0, i.e. alphas_cumprod[-1] == 0 and the
+    # x0-from-noise coefficients are inf (true of the reference too — linear
+    # is only meaningful near T=1000). Cosine clips betas to 0.999.
+    defaults = dict(image_size=16, timesteps=20, beta_schedule="cosine")
+    defaults.update(kwargs)
+    return GaussianDiffusion(model, **defaults)
+
+
+@pytest.fixture(scope="module")
+def diff_and_params():
+    diff = tiny_diffusion()
+    params = diff.init(jax.random.PRNGKey(0))
+    return diff, params
+
+
+def test_q_sample_oracle(diff_and_params):
+    diff, _ = diff_and_params
+    rs = np.random.RandomState(0)
+    x0 = rs.randn(2, 16, 16, 3).astype(np.float32)
+    noise = rs.randn(2, 16, 16, 3).astype(np.float32)
+    t = np.array([3, 17])
+
+    out = diff.q_sample(jnp.asarray(x0), jnp.asarray(t), jnp.asarray(noise))
+
+    ac = np.asarray(diff.schedule.alphas_cumprod, dtype=np.float64)
+    expect = (
+        np.sqrt(ac[t])[:, None, None, None] * x0
+        + np.sqrt(1 - ac[t])[:, None, None, None] * noise
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_pred_noise_x0_roundtrip(diff_and_params):
+    """predict_start_from_noise ∘ q_sample recovers x0 exactly."""
+    diff, _ = diff_and_params
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+    t = jnp.array([5, 12])
+    xt = diff.q_sample(x0, t, noise)
+    rec = diff.predict_start_from_noise(xt, t, noise)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), rtol=1e-3, atol=1e-4)
+    rec_noise = diff.predict_noise_from_start(xt, t, x0)
+    np.testing.assert_allclose(
+        np.asarray(rec_noise), np.asarray(noise), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_v_parameterization_roundtrip(diff_and_params):
+    diff, _ = diff_and_params
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(4), x0.shape)
+    t = jnp.array([0, 19])
+    v = diff.predict_v(x0, t, noise)
+    xt = diff.q_sample(x0, t, noise)
+    rec = diff.predict_start_from_v(xt, t, v)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), rtol=1e-3, atol=1e-4)
+
+
+def test_q_posterior_oracle(diff_and_params):
+    diff, _ = diff_and_params
+    rs = np.random.RandomState(5)
+    x0 = rs.randn(2, 16, 16, 3).astype(np.float32)
+    xt = rs.randn(2, 16, 16, 3).astype(np.float32)
+    t = np.array([1, 10])
+
+    mean, var, logvar = diff.q_posterior(jnp.asarray(x0), jnp.asarray(xt), jnp.asarray(t))
+
+    betas = np.asarray(diff.schedule.betas, np.float64)
+    ac = np.cumprod(1 - betas)
+    acp = np.concatenate([[1.0], ac[:-1]])
+    c1 = (betas * np.sqrt(acp) / (1 - ac))[t][:, None, None, None]
+    c2 = ((1 - acp) * np.sqrt(1 - betas) / (1 - ac))[t][:, None, None, None]
+    np.testing.assert_allclose(np.asarray(mean), c1 * x0 + c2 * xt, rtol=1e-4, atol=1e-5)
+    pv = (betas * (1 - acp) / (1 - ac))[t][:, None, None, None]
+    np.testing.assert_allclose(np.asarray(var), np.broadcast_to(pv, var.shape), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(logvar),
+        np.broadcast_to(np.log(np.maximum(pv, 1e-20)), logvar.shape),
+        rtol=1e-3,
+    )
+
+
+def test_ddim_time_pairs_match_reference_spacing():
+    diff = tiny_diffusion(timesteps=1000)
+    pairs = np.asarray(diff._ddim_time_pairs(50))
+    assert pairs.shape == (50, 2)
+    assert pairs[0, 0] == 999
+    assert pairs[-1, 1] == -1
+    # consecutive: next of pair i is time of pair i+1
+    np.testing.assert_array_equal(pairs[:-1, 1], pairs[1:, 0])
+    # matches linspace(-1, 999, 51) truncated to int, reversed
+    times = np.linspace(-1, 999, 51).astype(np.int32)[::-1]
+    np.testing.assert_array_equal(pairs[:, 0], times[:-1])
+    np.testing.assert_array_equal(pairs[:, 1], times[1:])
+
+
+def test_loss_scalar_finite(diff_and_params):
+    diff, params = diff_and_params
+    img = jax.random.uniform(jax.random.PRNGKey(7), (2, 16, 16, 3))
+    loss = jax.jit(diff.loss)(params, jax.random.PRNGKey(8), img)
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+
+
+@pytest.mark.parametrize("objective", ["pred_noise", "pred_x0", "pred_v"])
+def test_loss_all_objectives(objective):
+    diff = tiny_diffusion(objective=objective)
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    loss = diff.loss(params, jax.random.PRNGKey(2), img)
+    assert np.isfinite(float(loss))
+
+
+def test_hybrid_loss():
+    diff = tiny_diffusion(hybrid_loss=True)
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    loss = diff.loss(params, jax.random.PRNGKey(2), img)
+    assert np.isfinite(float(loss))
+
+
+def test_loss_differentiable(diff_and_params):
+    diff, params = diff_and_params
+    img = jax.random.uniform(jax.random.PRNGKey(9), (2, 16, 16, 3))
+    grads = jax.grad(diff.loss)(params, jax.random.PRNGKey(10), img)
+    gnorm = jnp.sqrt(
+        sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads))
+    )
+    assert np.isfinite(float(gnorm))
+    assert float(gnorm) > 0
+
+
+def test_ancestral_sampling_shapes_and_range(diff_and_params):
+    diff, params = diff_and_params
+    out = jax.jit(lambda p, r: diff.p_sample_loop(p, r, (2, 16, 16, 3)))(
+        params, jax.random.PRNGKey(11)
+    )
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_sampling_shapes(diff_and_params):
+    diff, params = diff_and_params
+    out = jax.jit(
+        lambda p, r: diff.ddim_sample(p, r, (2, 16, 16, 3), sampling_timesteps=5)
+    )(params, jax.random.PRNGKey(12))
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_return_all_timesteps(diff_and_params):
+    diff, params = diff_and_params
+    out = diff.ddim_sample(
+        params, jax.random.PRNGKey(13), (1, 16, 16, 3),
+        sampling_timesteps=4, return_all_timesteps=True,
+    )
+    assert out.shape == (1, 5, 16, 16, 3)
+
+
+def test_sample_dispatches_ddim():
+    diff = tiny_diffusion(sampling_timesteps=4)
+    assert diff.is_ddim_sampling
+    params = diff.init(jax.random.PRNGKey(0))
+    out = diff.sample(params, jax.random.PRNGKey(1), batch_size=2)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_self_conditioning_loss():
+    model = Unet(dim=16, dim_mults=(1, 2), channels=3, self_condition=True)
+    diff = GaussianDiffusion(
+        model, image_size=16, timesteps=10, beta_schedule="cosine"
+    )
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    loss = jax.jit(diff.loss)(params, jax.random.PRNGKey(2), img)
+    assert np.isfinite(float(loss))
+    out = diff.sample(params, jax.random.PRNGKey(3), batch_size=1)
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_interpolate(diff_and_params):
+    diff, params = diff_and_params
+    x1 = jax.random.normal(jax.random.PRNGKey(14), (1, 16, 16, 3))
+    x2 = jax.random.normal(jax.random.PRNGKey(15), (1, 16, 16, 3))
+    out = diff.interpolate(params, jax.random.PRNGKey(16), x1, x2, t=5)
+    assert out.shape == x1.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_immiscible_noise_assignment():
+    diff = tiny_diffusion(immiscible=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(17), (4, 16, 16, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(18), (4, 16, 16, 3))
+    t = jnp.zeros((4,), jnp.int32)
+    out = diff.q_sample(x0, t, noise)
+    assert out.shape == x0.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_offset_noise_loss():
+    diff = tiny_diffusion(offset_noise_strength=0.1)
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    loss = diff.loss(params, jax.random.PRNGKey(2), img)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,86 @@
+"""Data-parallel sharding tests on the 8-fake-device CPU mesh.
+
+The JAX-native analogue of the reference's (untested) `accelerate launch`
+multi-GPU path (SURVEY.md §2.4): shard the batch over a `data` axis, let XLA
+insert the gradient all-reduce, and check the result matches single-device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+from diffusion_models_tpu.models.unet import Unet
+from diffusion_models_tpu.parallel.mesh import (
+    data_parallel_shardings,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_mesh_spans_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices()) == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh()
+    batch = np.ones((16, 8, 8, 3), np.float32)
+    sharded = shard_batch(batch, mesh)
+    assert sharded.sharding.spec == P("data")
+    params = {"w": np.ones((4, 4), np.float32)}
+    rep = replicate(params, mesh)
+    assert rep["w"].sharding.spec == P()
+
+
+def test_sharded_loss_matches_single_device():
+    model = Unet(dim=16, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(
+        model, image_size=16, timesteps=20, beta_schedule="cosine"
+    )
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (16, 16, 16, 3))
+    rng = jax.random.PRNGKey(2)
+
+    loss_fn = lambda p, r, x: diff.loss(p, r, x, train=False)
+
+    # single device
+    loss_single = jax.jit(loss_fn)(params, rng, img)
+
+    # sharded over the mesh
+    mesh = make_mesh()
+    batch_sh, rep_sh = data_parallel_shardings(mesh)
+    params_r = jax.device_put(params, rep_sh)
+    img_s = jax.device_put(img, batch_sh)
+    loss_sharded = jax.jit(loss_fn)(params_r, rng, img_s)
+
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=2e-5
+    )
+
+
+def test_sharded_grads_match_single_device():
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(
+        model, image_size=8, timesteps=10, beta_schedule="cosine"
+    )
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    rng = jax.random.PRNGKey(2)
+
+    grad_fn = jax.grad(lambda p, r, x: diff.loss(p, r, x, train=False))
+    g_single = jax.jit(grad_fn)(params, rng, img)
+
+    mesh = make_mesh()
+    batch_sh, rep_sh = data_parallel_shardings(mesh)
+    g_sharded = jax.jit(grad_fn)(
+        jax.device_put(params, rep_sh), rng, jax.device_put(img, batch_sh)
+    )
+
+    flat_s = jax.tree_util.tree_leaves(g_single)
+    flat_d = jax.tree_util.tree_leaves(g_sharded)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)

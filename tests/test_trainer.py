@@ -1,0 +1,106 @@
+"""End-to-end Trainer tests: loss decreases, checkpoints roundtrip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+from diffusion_models_tpu.models.unet import Unet
+from diffusion_models_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def img_folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_imgs")
+    rs = np.random.RandomState(0)
+    for i in range(32):
+        # structured data (constant images + noise) so the loss can drop fast
+        base = np.full((16, 16, 3), (i % 4) * 60, dtype=np.uint8)
+        noise = rs.randint(0, 30, base.shape, dtype=np.uint8)
+        Image.fromarray(base + noise).save(root / f"{i:03d}.png")
+    return root
+
+
+def make_trainer(img_folder, tmp_path, **kwargs):
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(
+        model, image_size=16, timesteps=10, sampling_timesteps=3,
+        beta_schedule="cosine",
+    )
+    defaults = dict(
+        train_batch_size=16,
+        train_num_steps=3,
+        train_lr=1e-3,
+        save_and_sample_every=1000,  # no eval during the smoke steps
+        num_samples=4,
+        calculate_fid=False,
+        calculate_is=False,
+        results_folder=str(tmp_path / "results"),
+        num_workers=2,
+    )
+    defaults.update(kwargs)
+    return Trainer(diff, str(img_folder), **defaults)
+
+
+def test_trainer_runs_and_logs(img_folder, tmp_path):
+    trainer = make_trainer(img_folder, tmp_path)
+    trainer.train()
+    assert int(trainer.state.step) == 3
+    assert (tmp_path / "results" / "training_params.json").exists()
+    assert (tmp_path / "results" / "tensorboard_logs" / "metrics.jsonl").exists()
+
+
+def test_loss_decreases(img_folder, tmp_path):
+    trainer = make_trainer(
+        img_folder, tmp_path, train_num_steps=30, train_lr=3e-3
+    )
+    losses = []
+    for _ in range(30):
+        batch = trainer.next_batch()
+        trainer.state, loss = trainer._train_step(
+            trainer.state, batch, trainer._base_rng
+        )
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_gradient_accumulation(img_folder, tmp_path):
+    trainer = make_trainer(
+        img_folder, tmp_path, train_batch_size=8, gradient_accumulate_every=2
+    )
+    batch = trainer.next_batch()
+    # (accum, B, H, W, C)
+    assert batch.shape == (2, 8, 16, 16, 3)
+    trainer.state, loss = trainer._train_step(trainer.state, batch, trainer._base_rng)
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(img_folder, tmp_path):
+    trainer = make_trainer(img_folder, tmp_path)
+    batch = trainer.next_batch()
+    trainer.state, _ = trainer._train_step(trainer.state, batch, trainer._base_rng)
+    trainer.save(1)
+    assert trainer.ckpt.milestones() == [1]
+
+    trainer2 = make_trainer(img_folder, tmp_path)
+    trainer2.load(1)
+    assert int(trainer2.state.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.state.params),
+        jax.tree_util.tree_leaves(trainer2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.state.ema.params),
+        jax.tree_util.tree_leaves(trainer2.state.ema.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_samples(img_folder, tmp_path):
+    trainer = make_trainer(img_folder, tmp_path, train_batch_size=16)
+    samples = trainer.generate_samples(4)
+    assert samples.shape == (4, 16, 16, 3)
+    assert np.all(np.isfinite(samples))

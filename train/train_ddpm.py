@@ -1,0 +1,84 @@
+"""Train an unconditional DDPM from a YAML config.
+
+Entry-point parity with the reference `train/train_ddpm.py`
+(YAML schema identical: unet / diffusion / trainer sections).
+
+    python train/train_ddpm.py --config train/configs/ddpm_cifar.yaml
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+from diffusion_models_tpu.models.unet import Unet
+from diffusion_models_tpu.training.trainer import Trainer
+from diffusion_models_tpu.utils.config import load_config
+
+
+def build(cfg):
+    unet_cfg = cfg["unet"]
+    unet = Unet(
+        dim=unet_cfg["dim"],
+        dim_mults=tuple(unet_cfg["dim_mults"]),
+        dropout=unet_cfg.get("dropout", 0.0),
+        channels=unet_cfg.get("channels", 3),
+        self_condition=unet_cfg.get("self_condition", False),
+        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+    )
+
+    d = cfg["diffusion"]
+    diffusion = GaussianDiffusion(
+        unet,
+        image_size=d["image_size"],
+        timesteps=d["timesteps"],
+        sampling_timesteps=d.get("sampling_timesteps"),
+        objective=d.get("objective", "pred_noise"),
+        beta_schedule=d.get("beta_schedule", "linear"),
+        ddpm=d.get("ddpm", True),
+        hybrid_loss=d.get("hybrid_loss", False),
+    )
+
+    t = cfg["trainer"]
+    trainer = Trainer(
+        diffusion,
+        t["data_path"],
+        train_batch_size=t["train_batch_size"],
+        train_lr=float(t["train_lr"]),
+        train_num_steps=t["train_num_steps"],
+        gradient_accumulate_every=t.get("gradient_accumulate_every", 1),
+        calculate_fid=t.get("calculate_fid", True),
+        calculate_is=t.get("calculate_is", False),
+        inception_weights=t.get("inception_weights"),
+        save_and_sample_every=t["save_and_sample_every"],
+        num_fid_samples=t.get("num_fid_samples", 50000),
+        num_samples=t.get("num_samples", 25),
+        results_folder=t["results_folder"],
+        save_best_and_latest_only=t.get("save_best_and_latest_only", False),
+    )
+    return unet, diffusion, trainer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="config.yaml",
+                        help="Path to YAML config file")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    unet, diffusion, trainer = build(cfg)
+
+    n_params = sum(
+        p.size for p in jax.tree_util.tree_leaves(trainer.state.params)
+    )
+    print(f"Total parameters: {n_params}")
+    print(f"Devices: {jax.devices()}")
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Train an image-conditional LDM (dual-VAE edge→shoe) from a YAML config.
+
+Entry-point parity with `latent-diffusion/train/train_ldm_image_conditional.py`
+(separate cond/target VQ-VAEs, conditioning on encoded cond latents).
+
+    python train/train_ldm_image_conditional.py \
+        --config train/configs/ldm_image_conditional_edges2shoes.yaml
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_tpu.diffusion.latent import ImageConditionalLatentDiffusion
+from diffusion_models_tpu.models.unet import Unet
+from diffusion_models_tpu.training.conditional_trainers import ImageConditionalTrainer
+from diffusion_models_tpu.utils.config import load_config
+from train.train_ldm import load_frozen_vae
+
+
+def build(cfg):
+    vae = load_frozen_vae(
+        {**cfg, "vae_checkpoint_path": cfg["target_vae_checkpoint_path"],
+         "vae_milestone": cfg.get("target_vae_milestone")}
+    )
+    cond_vae = vae
+    if cfg.get("cond_vae_checkpoint_path"):
+        cond_vae = load_frozen_vae(
+            {**cfg, "vae_checkpoint_path": cfg["cond_vae_checkpoint_path"],
+             "vae_milestone": cfg.get("cond_vae_milestone")}
+        )
+
+    _, h, w, c = vae.z_shape
+    unet_cfg = cfg["unet"]
+    unet = Unet(
+        dim=unet_cfg["dim"],
+        dim_mults=tuple(unet_cfg["dim_mults"]),
+        dropout=unet_cfg.get("dropout", 0.0),
+        channels=c,
+        cond_channels=cond_vae.z_shape[-1],
+        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+    )
+
+    t = cfg["trainer"]
+    diffusion = ImageConditionalLatentDiffusion(
+        unet,
+        vae,
+        latent_shape=(h, w, c),
+        cond_vae=cond_vae,
+        condition_data_folder=Path(t["data_path"]) / "condition",
+        timesteps=cfg.get("diffusion_timesteps", 1000),
+        sampling_timesteps=cfg.get("sampling_timesteps"),
+    )
+
+    trainer = ImageConditionalTrainer(
+        diffusion,
+        t["data_path"],
+        train_batch_size=t["train_batch_size"],
+        train_lr=float(t["train_lr"]),
+        train_num_steps=t["train_num_steps"],
+        calculate_fid=t.get("calculate_fid", True),
+        calculate_is=t.get("calculate_is", False),
+        inception_weights=t.get("inception_weights"),
+        save_and_sample_every=t["save_and_sample_every"],
+        num_fid_samples=t.get("num_fid_samples", 50000),
+        num_samples=t.get("num_samples", 25),
+        results_folder=t["results_folder"],
+    )
+    return diffusion, trainer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="config.yaml")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    diffusion, trainer = build(cfg)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(trainer.state.params))
+    print(f"Denoiser parameters: {n_params}")
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

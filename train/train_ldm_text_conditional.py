@@ -1,0 +1,87 @@
+"""Train a text-conditional LDM (COCO) from a YAML config.
+
+Entry-point parity with `latent-diffusion/train/train_ldm_text_conditional.py`
+(minus its `condition_vae` NameError bug, `train_ldm_text_conditional.py:79`,
+which is on SURVEY.md's do-not-replicate list).
+
+    python train/train_ldm_text_conditional.py \
+        --config train/configs/ldm_text_conditional_coco.yaml
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_tpu.diffusion.latent import TextConditionalLatentDiffusion
+from diffusion_models_tpu.models.unet import Unet
+from diffusion_models_tpu.training.conditional_trainers import TextConditionalTrainer
+from diffusion_models_tpu.utils.config import load_config
+from train.train_ldm import load_frozen_vae
+
+
+def build(cfg):
+    vae = load_frozen_vae(cfg)
+    _, h, w, c = vae.z_shape
+
+    unet_cfg = cfg["unet"]
+    unet = Unet(
+        dim=unet_cfg["dim"],
+        dim_mults=tuple(unet_cfg["dim_mults"]),
+        dropout=unet_cfg.get("dropout", 0.0),
+        channels=c,
+        text_condition=True,
+        text_emb_dim=unet_cfg.get("text_emb_dim", 512),
+        use_cross_attn=unet_cfg.get("use_cross_attn", True),
+        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+    )
+
+    t = cfg["trainer"]
+    embedding_file = t.get("embedding_file") or (
+        Path(t["data_path"]) / "text_embeddings.pkl"
+    )
+    diffusion = TextConditionalLatentDiffusion(
+        unet,
+        vae,
+        latent_shape=(h, w, c),
+        text_emb_dim=unet_cfg.get("text_emb_dim", 512),
+        timesteps=cfg.get("diffusion_timesteps", 1000),
+        sampling_timesteps=cfg.get("sampling_timesteps"),
+        embeddings_file=embedding_file,
+    )
+
+    trainer = TextConditionalTrainer(
+        diffusion,
+        t["data_path"],
+        embedding_file=t.get("embedding_file"),
+        train_batch_size=t["train_batch_size"],
+        train_lr=float(t["train_lr"]),
+        train_num_steps=t["train_num_steps"],
+        calculate_fid=t.get("calculate_fid", True),
+        calculate_is=t.get("calculate_is", False),
+        inception_weights=t.get("inception_weights"),
+        save_and_sample_every=t["save_and_sample_every"],
+        num_fid_samples=t.get("num_fid_samples", 50000),
+        num_samples=t.get("num_samples", 25),
+        results_folder=t["results_folder"],
+    )
+    return diffusion, trainer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="config.yaml")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    diffusion, trainer = build(cfg)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(trainer.state.params))
+    print(f"Denoiser parameters: {n_params}")
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
