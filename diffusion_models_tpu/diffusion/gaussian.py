@@ -126,10 +126,13 @@ class GaussianDiffusion:
         params_rng, dropout_rng = jax.random.split(rng)
         cond = default(cond, self.example_cond(batch_size))
         rngs = {"params": params_rng, "dropout": dropout_rng}
+        # jit the init: eager init issues hundreds of tiny ops, which is
+        # pathological over a remote-compile TPU attach; one jitted program
+        # compiles once.
         if cond is None:
-            variables = self.model.init(rngs, x, t)
+            variables = jax.jit(self.model.init)(rngs, x, t)
         else:
-            variables = self.model.init(rngs, x, t, None, cond)
+            variables = jax.jit(self.model.init)(rngs, x, t, None, cond)
         return variables["params"]
 
     def example_cond(self, batch_size: int):
@@ -389,6 +392,69 @@ class GaussianDiffusion:
             ret = img
         return self.unnormalize(ret)
 
+    def ddim_sample_guided(
+        self,
+        params,
+        rng,
+        shape,
+        sampling_timesteps: Optional[int] = None,
+        guide=None,
+        mask=None,
+        clip_denoised: bool = True,
+        eta: Optional[float] = None,
+    ):
+        """Mask-guided DDIM inpainting (reference `ddim_sample_guided`
+        :711-777, minus its in-loop matplotlib display — on SURVEY.md's
+        do-not-replicate list). After each DDIM update the unmasked region is
+        replaced by q_sample(guide, t): img ← img·mask + guide_t·(1−mask)."""
+        sampling_timesteps = default(sampling_timesteps, self.sampling_timesteps)
+        eta = default(eta, self.ddim_sampling_eta)
+        batch = shape[0]
+        s = self.schedule
+
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, jnp.float32)
+        pairs = self._ddim_time_pairs(sampling_timesteps)
+        has_guide = guide is not None
+        if has_guide:
+            guide = guide.astype(jnp.float32)
+            mask = mask.astype(jnp.float32)
+
+        def step(carry, pair):
+            img, x_start, key = carry
+            time, time_next = pair[0], pair[1]
+            key, noise_key, guide_key = jax.random.split(key, 3)
+
+            t_b = jnp.full((batch,), time, jnp.int32)
+            self_cond = x_start if self.self_condition else None
+            pred_noise, x_start = self.model_predictions(
+                params, img, t_b, self_cond, None, clip_x_start=clip_denoised
+            )
+
+            alpha = s.alphas_cumprod[time]
+            alpha_next = jnp.where(
+                time_next < 0, 1.0, s.alphas_cumprod[jnp.maximum(time_next, 0)]
+            )
+            sigma = eta * jnp.sqrt(
+                jnp.maximum(
+                    (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha), 0.0
+                )
+            )
+            c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+            noise = jax.random.normal(noise_key, shape, jnp.float32)
+            img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+
+            if has_guide:
+                # reference noises the guide at the CURRENT time (:750-752)
+                g_noise = jax.random.normal(guide_key, shape, jnp.float32)
+                guide_t = self.q_sample(guide, t_b, g_noise)
+                guided = img * mask + guide_t * (1 - mask)
+                img = jnp.where(time_next < 0, img, guided)
+            return (img, x_start, key), None
+
+        (img, _, _), _ = jax.lax.scan(step, (img0, jnp.zeros_like(img0), rng), pairs)
+        return unnormalize_to_zero_to_one(img)
+
     def sample(
         self,
         params,
@@ -455,10 +521,10 @@ class GaussianDiffusion:
 
         if self.offset_noise_strength > 0.0:
             # per-(batch, channel) DC offset — https://www.crosslabs.org/blog/diffusion-with-offset-noise
-            offset = jax.random.normal(
-                offset_key, (x_start.shape[0], x_start.shape[-1]), jnp.float32
-            )
-            noise = noise + self.offset_noise_strength * offset[:, None, None, :]
+            b, c = x_start.shape[0], x_start.shape[-1]
+            offset = jax.random.normal(offset_key, (b, c), jnp.float32)
+            offset = offset.reshape((b,) + (1,) * (x_start.ndim - 2) + (c,))
+            noise = noise + self.offset_noise_strength * offset
 
         x = self.q_sample(x_start, t, noise)
 

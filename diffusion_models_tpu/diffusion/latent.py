@@ -206,6 +206,8 @@ class TextConditionalLatentDiffusion(TextConditionalGaussianDiffusion):
         self.channels = c
         self.normalize = identity
         self.unnormalize = identity
+        res = vae.module.ddconfig["resolution"]
+        self.pixel_image_size = (res, res)
 
     def encode(self, images):
         return self.vae.encode(images)
