@@ -181,10 +181,15 @@ def test_karras_unet_class_conditional():
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         x, t, None, labels,
     )["params"]
-    # the output Gain inits to 0 (EDM2 behavior) — open it to observe the
+    # every Gain (output + per-block emb gains) inits to 0 (EDM2 behavior:
+    # conditioning opens up during training) — open them all to observe the
     # class conditioning at the output
-    params = jax.tree_util.tree_map(lambda v: v, params)
-    params["output_gain"] = {"gain": jnp.asarray(1.0)}
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.ones_like(v)
+        if getattr(p[-1], "key", "") == "gain"
+        else v,
+        params,
+    )
     out = model.apply({"params": params}, x, t, None, labels)
     out2 = model.apply({"params": params}, x, t, None, jnp.array([2, 3]))
     assert out.shape == x.shape
