@@ -156,12 +156,16 @@ def _qkv_heads(x, heads):
 
 class Attention(nn.Module):
     """Full self-attention over H·W spatial tokens with learned memory KV
-    slots (`denoising_diffusion.py:195-229`)."""
+    slots (`denoising_diffusion.py:195-229`). With `flash=True` the score
+    matrix never touches HBM — the Pallas kernel in
+    `ops/pallas/flash_attention.py` replaces the reference's torch-SDPA
+    dispatch (`attend.py:72-93`)."""
 
     dim: int
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
+    flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -190,7 +194,14 @@ class Attention(nn.Module):
         k = jnp.concatenate([mk, k], axis=-2)
         v = jnp.concatenate([mv, v], axis=-2)
 
-        out = dot_product_attention(q, k, v)
+        if self.flash:
+            from diffusion_models_tpu.ops.pallas.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(q, k, v)
+        else:
+            out = dot_product_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
         return nn.Conv(
             self.dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
@@ -371,6 +382,8 @@ class Unet(nn.Module):
     text_condition: bool = False
     text_emb_dim: int = 512
     use_cross_attn: bool = False
+    # route full-attention blocks through the Pallas flash kernel
+    flash_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -503,7 +516,9 @@ class Unet(nn.Module):
             zip(in_out, full_attn, attn_heads, attn_dim_head)
         ):
             is_last = ind >= (num_resolutions - 1)
-            attn_cls = Attention if fa else LinearAttention
+            attn_cls = (
+                partial(Attention, flash=self.flash_attn) if fa else LinearAttention
+            )
 
             x = resnet(dim_in, name=f"down_{ind}_block1")(x, t, train=train)
             hs.append(x)
@@ -531,7 +546,7 @@ class Unet(nn.Module):
             x = _cross_attn(x, "cross_attn")
         x = Attention(
             mid_dim, heads=attn_heads[-1], dim_head=attn_dim_head[-1],
-            dtype=self.dtype, name="mid_attn",
+            flash=self.flash_attn, dtype=self.dtype, name="mid_attn",
         )(x) + x
         x = resnet(mid_dim, name="mid_block2")(x, t, train=train)
         if use_xattn:
@@ -544,7 +559,9 @@ class Unet(nn.Module):
             )
         ):
             is_last = ind == (num_resolutions - 1)
-            attn_cls = Attention if fa else LinearAttention
+            attn_cls = (
+                partial(Attention, flash=self.flash_attn) if fa else LinearAttention
+            )
 
             x = jnp.concatenate([x, hs.pop()], axis=-1)
             x = resnet(dim_out, name=f"up_{ind}_block1")(x, t, train=train)

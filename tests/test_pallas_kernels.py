@@ -1,0 +1,61 @@
+"""Pallas kernel correctness tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffusion_models_tpu.ops.attention import dot_product_attention
+
+
+def test_flash_attention_matches_reference():
+    from diffusion_models_tpu.ops.pallas.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 2, 256, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 260, 32))  # +mem kv
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 260, 32))
+
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_small_falls_back():
+    from diffusion_models_tpu.ops.pallas.flash_attention import flash_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 64, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 68, 32))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 68, 32))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_unaligned_lengths():
+    from diffusion_models_tpu.ops.pallas.flash_attention import flash_attention
+
+    # N not a multiple of 128, M not a multiple of 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 200, 32))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 137, 32))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 137, 32))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_ddim_step_matches_formula():
+    from diffusion_models_tpu.ops.pallas.ddim_step import fused_ddim_step
+
+    rs = jax.random.PRNGKey(0)
+    x = jax.random.normal(rs, (2, 16, 16, 3))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    noise = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    a, b, an, c, sigma = 1.2, 0.7, 0.9, 0.4, 0.05
+    coefs = jnp.array([a, b, an, c, sigma], jnp.float32)
+
+    out = fused_ddim_step(x, eps, noise, coefs, interpret=True)
+
+    x0 = np.clip(a * np.asarray(x) - b * np.asarray(eps), -1, 1)
+    eps_re = (a * np.asarray(x) - x0) / b
+    expect = x0 * an + c * eps_re + sigma * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
