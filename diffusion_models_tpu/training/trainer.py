@@ -92,6 +92,8 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         num_workers: int = 8,
+        detect_anomalies: bool = False,
+        checkpoint_on_preemption: bool = True,
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -165,6 +167,9 @@ class Trainer:
         self._fid_scorer = None
         self._is_scorer = None
         self.best_fid = 1e10
+        self.detect_anomalies = detect_anomalies
+        self.checkpoint_on_preemption = checkpoint_on_preemption
+        self._preempted = False
 
         self.save_training_params()
 
@@ -351,8 +356,25 @@ class Trainer:
 
     # ---------------------------------------------------------------- train
 
+    def _install_preemption_handler(self):
+        """Failure/elastic-recovery support the reference lacks (SURVEY.md
+        §5.3): on SIGTERM/SIGINT, checkpoint a `preempt` milestone before
+        exiting so training resumes exactly (per-step fold_in RNG)."""
+        import signal
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # not on the main thread
+
     def train(self, log_every: int = 1):
         self._ensure_eval_stack()
+        if self.checkpoint_on_preemption:
+            self._install_preemption_handler()
         step = int(self.state.step)
         t0 = time.time()
         while step < self.train_num_steps:
@@ -360,8 +382,19 @@ class Trainer:
             self.state, loss = self._train_step(self.state, batch, self._base_rng)
             step += 1
 
+            if self._preempted:
+                print(f"preemption signal received — checkpointing at step {step}")
+                self.save("preempt")
+                return
+
             if step % log_every == 0:
                 loss_val = float(loss)
+                if self.detect_anomalies and not np.isfinite(loss_val):
+                    self.save("anomaly")
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at step {step}; "
+                        f"state checkpointed to model-anomaly"
+                    )
                 self.writer.scalar("Train/Loss", loss_val, step)
             if step % 100 == 0:
                 rate = 100 / max(time.time() - t0, 1e-9)

@@ -104,3 +104,24 @@ def test_generate_samples(img_folder, tmp_path):
     samples = trainer.generate_samples(4)
     assert samples.shape == (4, 16, 16, 3)
     assert np.all(np.isfinite(samples))
+
+
+def test_preemption_checkpoint(img_folder, tmp_path):
+    trainer = make_trainer(img_folder, tmp_path, train_num_steps=50)
+    trainer._preempted = True  # simulate SIGTERM delivery
+    trainer.train()
+    assert trainer.ckpt.exists("preempt")
+    # resumable: restore and verify the step advanced exactly once
+    trainer2 = make_trainer(img_folder, tmp_path)
+    trainer2.load("preempt")
+    assert int(trainer2.state.step) == 1
+
+
+def test_anomaly_detection(img_folder, tmp_path):
+    import pytest as _pytest
+
+    trainer = make_trainer(img_folder, tmp_path, detect_anomalies=True,
+                           train_lr=1e10)  # guaranteed blow-up
+    with _pytest.raises(FloatingPointError):
+        trainer.train()
+    assert trainer.ckpt.exists("anomaly")
