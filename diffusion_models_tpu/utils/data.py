@@ -67,12 +67,26 @@ def _load_transformed(
         img = img.convert(convert_image_to)
     elif img.mode not in ("RGB", "L"):
         img = img.convert("RGB")
-    img = resize_and_center_crop(img, image_size)
     flip = (
         augment_horizontal_flip
         and rng is not None
         and rng.random() < 0.5
     )
+
+    # fast path: PIL decodes, the native C++ library does resize/crop/flip/
+    # normalize (antialiased, PIL-equivalent) without Python overhead
+    if isinstance(image_size, int):
+        from diffusion_models_tpu.utils import native_preproc
+
+        if native_preproc.available():
+            raw = np.asarray(img, dtype=np.uint8)
+            if raw.ndim == 2:
+                raw = raw[..., None]
+            return native_preproc.preprocess_batch(
+                [raw], image_size, [flip], num_threads=1
+            )[0]
+
+    img = resize_and_center_crop(img, image_size)
     if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     arr = np.asarray(img, dtype=np.float32) / 255.0

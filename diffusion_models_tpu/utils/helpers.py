@@ -55,3 +55,13 @@ def normalize_to_neg_one_to_one(img):
 
 def unnormalize_to_zero_to_one(t):
     return (t + 1) * 0.5
+
+
+def count_params(params, verbose: bool = False) -> int:
+    """Total parameter count of a pytree (reference `ldm/util.py:71`)."""
+    import jax
+
+    total = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    if verbose:
+        print(f"{total * 1e-6:.2f} M params.")
+    return total

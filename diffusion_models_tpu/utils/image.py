@@ -46,6 +46,27 @@ def save_image_grid(images, path, nrow: int | None = None) -> None:
     Image.fromarray(grid).save(path)
 
 
+def log_txt_as_img(size, texts, font_size: int = 10) -> np.ndarray:
+    """Render caption strings onto white tiles for TensorBoard logging —
+    parity with the reference `ldm/util.py:17` (`log_txt_as_img`).
+    Returns float [0,1] (N, H, W, 3)."""
+    from PIL import ImageDraw
+
+    w, h = (size, size) if isinstance(size, int) else size
+    tiles = []
+    chars_per_line = max(1, int(w / (font_size * 0.6)))
+    for text in texts:
+        img = Image.new("RGB", (w, h), color="white")
+        draw = ImageDraw.Draw(img)
+        lines = "\n".join(
+            text[i : i + chars_per_line]
+            for i in range(0, len(text), chars_per_line)
+        )
+        draw.text((2, 2), lines, fill="black")
+        tiles.append(np.asarray(img, np.float32) / 255.0)
+    return np.stack(tiles)
+
+
 def load_image(path, image_size=None, mode: str = "RGB") -> np.ndarray:
     """Load a single image as float32 [0,1] HWC."""
     img = Image.open(path)
