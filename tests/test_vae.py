@@ -155,3 +155,38 @@ def test_vae_losses():
     xrec = x + 0.1
     nll = loss.reconstruction_loss(x, xrec)
     np.testing.assert_allclose(float(nll), 0.1, rtol=1e-4)
+
+
+def test_vae_trainer_two_steps(tmp_path):
+    import jax
+    from PIL import Image as PILImage
+
+    from diffusion_models_tpu.training.vae_trainer import VAETrainer
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(16):
+        PILImage.fromarray(
+            rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        ).save(folder / f"{i}.png")
+
+    model = VQModel(ddconfig=DDCONFIG, n_embed=32, embed_dim=3)
+    trainer = VAETrainer(
+        model, str(folder), batch_size=8, learning_rate=1e-4,
+        train_num_steps=2, sample_every=2, save_every=2,
+        results_folder=str(tmp_path / "r"), num_workers=1,
+    )
+    trainer.train()
+    assert int(trainer.state.step) == 2
+    assert (tmp_path / "r" / "recon-2.png").exists()
+    assert (tmp_path / "r" / "latents-2.npy").exists()
+    assert trainer.ckpt.milestones() == [1]
+
+    # checkpoint roundtrip
+    trainer2 = VAETrainer(
+        model, str(folder), batch_size=8, train_num_steps=2,
+        results_folder=str(tmp_path / "r"), num_workers=1,
+    )
+    trainer2.load(1)
+    assert int(trainer2.state.step) == 2
