@@ -472,8 +472,11 @@ class GaussianDiffusion:
             params, rng, shape, cond=cond, return_all_timesteps=return_all_timesteps
         )
 
-    def interpolate(self, params, rng, x1, x2, t: Optional[int] = None, lam: float = 0.5):
-        """Spherical-ish latent interpolation (reference :786-803)."""
+    def interpolate(self, params, rng, x1, x2, t: Optional[int] = None,
+                    lam: float = 0.5, cond=None):
+        """Noise-space interpolation between two images (reference :786-803;
+        the conditional variants thread `cond`, `...image_conditional.py:
+        232-249`)."""
         assert x1.shape == x2.shape
         b = x1.shape[0]
         t = default(t, self.num_timesteps - 1)
@@ -490,7 +493,7 @@ class GaussianDiffusion:
             i_b = jnp.full((b,), i, jnp.int32)
             self_cond = x_start if self.self_condition else None
             model_mean, _, model_log_variance, x_start = self.p_mean_variance(
-                params, img, i_b, self_cond, clip_denoised=True
+                params, img, i_b, self_cond, cond, clip_denoised=True
             )
             noise = jnp.where(
                 i > 0, jax.random.normal(noise_key, img.shape, jnp.float32), 0.0

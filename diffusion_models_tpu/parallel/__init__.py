@@ -3,4 +3,6 @@ from diffusion_models_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_parallel_shardings,
+    fsdp_sharding_for,
+    shard_params_fsdp,
 )

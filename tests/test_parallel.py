@@ -84,3 +84,32 @@ def test_sharded_grads_match_single_device():
     flat_d = jax.tree_util.tree_leaves(g_sharded)
     for a, b in zip(flat_s, flat_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+def test_fsdp_param_sharding_matches_replicated():
+    """FSDP-sharded params give the same loss/grads as replicated params —
+    XLA inserts the gathers/scatters from the shardings alone."""
+    from diffusion_models_tpu.parallel.mesh import shard_params_fsdp
+
+    model = Unet(dim=16, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(
+        model, image_size=16, timesteps=10, beta_schedule="cosine"
+    )
+    params = diff.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (16, 16, 16, 3))
+    rng = jax.random.PRNGKey(2)
+
+    loss_fn = lambda p, r, x: diff.loss(p, r, x, train=False)
+    loss_rep = jax.jit(loss_fn)(params, rng, img)
+
+    mesh = make_mesh()
+    batch_sh, _ = data_parallel_shardings(mesh)
+    params_fsdp = shard_params_fsdp(params, mesh, min_size=1024)
+    # at least one leaf actually got sharded
+    specs = {str(l.sharding.spec) for l in jax.tree_util.tree_leaves(params_fsdp)}
+    assert any("data" in s for s in specs)
+
+    loss_fsdp = jax.jit(loss_fn)(
+        params_fsdp, rng, jax.device_put(img, batch_sh)
+    )
+    np.testing.assert_allclose(float(loss_rep), float(loss_fsdp), rtol=2e-5)
