@@ -21,6 +21,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeat runs skip the ~5-min TPU compile
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dmt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 A100_EST_SAMPLES_PER_SEC = 100.0
 BATCH = 256
 DDIM_STEPS = 50

@@ -94,6 +94,7 @@ class Trainer:
         num_workers: int = 8,
         detect_anomalies: bool = False,
         checkpoint_on_preemption: bool = True,
+        post_update_fn=None,
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -110,6 +111,10 @@ class Trainer:
         self.ema_update_every = ema_update_every
         self.train_lr = train_lr
         self.adam_betas = tuple(adam_betas)
+        # optional params→params transform applied inside the jitted step
+        # right after the optimizer update (e.g. Karras MP forced weight
+        # renormalization, `models/karras_unet.normalize_karras_weights`)
+        self.post_update_fn = post_update_fn
         self.seed = seed
         self.num_fid_samples = num_fid_samples
         self.save_best_and_latest_only = save_best_and_latest_only
@@ -236,6 +241,8 @@ class Trainer:
 
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            if self.post_update_fn is not None:
+                params = self.post_update_fn(params)
             ema = ema_update(
                 state.ema,
                 params,
