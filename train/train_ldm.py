@@ -36,10 +36,9 @@ def load_frozen_vae(cfg):
     milestone = cfg.get("vae_milestone") or milestones[-1]
     x0 = jnp.zeros((1, dd["resolution"], dd["resolution"], dd["in_channels"]))
     template_params = vae.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    # partial restore: the frozen first stage needs only the generator params
     restored = ckpt.restore(
-        milestone,
-        {"step": jnp.zeros((), jnp.int32), "g_params": template_params,
-         "g_opt": None, "d_params": None, "d_opt": None},
+        milestone, {"g_params": template_params}, partial=True
     )
     return _FrozenVAE(vae, restored["g_params"])
 
