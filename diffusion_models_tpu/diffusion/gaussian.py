@@ -71,6 +71,7 @@ class GaussianDiffusion:
         min_snr_loss_weight: bool = False,
         min_snr_gamma: float = 5,
         immiscible: bool = False,
+        immiscible_mode: str = "hungarian",
         ddpm: bool = True,
         hybrid_loss: bool = False,
     ):
@@ -106,6 +107,8 @@ class GaussianDiffusion:
 
         self.offset_noise_strength = offset_noise_strength
         self.immiscible = immiscible
+        assert immiscible_mode in ("hungarian", "greedy")
+        self.immiscible_mode = immiscible_mode
         self.hybrid_loss = hybrid_loss
 
         self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
@@ -203,27 +206,52 @@ class GaussianDiffusion:
         return posterior_mean, posterior_variance, posterior_log_variance
 
     def _noise_assignment(self, x_start, noise):
-        """Immiscible diffusion: Hungarian matching of noise to data
-        (reference `noise_assignment` at :805-809). The assignment problem is
-        solved host-side via a pure_callback (it is O(B³) scalar work that
-        does not belong on the MXU)."""
-        from scipy.optimize import linear_sum_assignment  # host-side only
+        """Immiscible diffusion: match noise draws to data points
+        (reference `noise_assignment` at :805-809 uses scipy Hungarian).
 
+        Two modes:
+          - 'hungarian': exact, via a host pure_callback (O(B³) scalar work
+            that does not belong on the MXU; matches the reference exactly,
+            but blocks the device pipeline on the host round-trip).
+          - 'greedy': in-jit greedy matching (B argmins over the B×B cost
+            matrix inside a fori_loop) — near-optimal in practice and keeps
+            the whole train step on-device. TPU-native default choice for
+            production runs."""
         b = x_start.shape[0]
         xf = x_start.reshape(b, -1)
         nf = noise.reshape(b, -1)
         dist = jnp.sqrt(
-            jnp.sum((xf[:, None, :] - nf[None, :, :]) ** 2, axis=-1)
+            jnp.maximum(
+                jnp.sum(xf**2, 1)[:, None]
+                - 2 * xf @ nf.T
+                + jnp.sum(nf**2, 1)[None, :],
+                0.0,
+            )
         )
+
+        if self.immiscible_mode == "greedy":
+            def body(_, carry):
+                d, assign = carry
+                flat_idx = jnp.argmin(d)
+                r, c = flat_idx // b, flat_idx % b
+                assign = assign.at[r].set(c)
+                d = d.at[r, :].set(jnp.inf).at[:, c].set(jnp.inf)
+                return d, assign
+
+            _, assign = jax.lax.fori_loop(
+                0, b, body, (dist, jnp.zeros((b,), jnp.int32))
+            )
+            return assign
+
+        from scipy.optimize import linear_sum_assignment  # host-side only
 
         def host_assign(d):
             _, assign = linear_sum_assignment(np.asarray(d))
             return assign.astype(np.int32)
 
-        assign = jax.pure_callback(
+        return jax.pure_callback(
             host_assign, jax.ShapeDtypeStruct((b,), np.int32), dist
         )
-        return assign
 
     def q_sample(self, x_start, t, noise, rng=None):
         """Forward diffusion q(x_t | x_0); always f32

@@ -142,12 +142,20 @@ class Trainer:
             )
         self.dataset = dataset
         self.folder = folder
+        # multi-host: each process loads its disjoint shard of every global
+        # batch (reference `split_batches=True` semantics, SURVEY.md §2.4)
+        per_host_batch = train_batch_size
+        if jax.process_count() > 1:
+            assert train_batch_size % jax.process_count() == 0
+            per_host_batch = train_batch_size // jax.process_count()
         self.dl = cycle(
             DataLoader(
                 dataset,
-                batch_size=train_batch_size,
+                batch_size=per_host_batch,
                 num_workers=num_workers,
                 seed=seed,
+                num_shards=jax.process_count(),
+                shard_id=jax.process_index(),
             )
         )
 

@@ -254,7 +254,13 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """`num_shards`/`shard_id`: multi-host data sharding — every host
+        draws the SAME seeded permutation and takes its own stride, so the
+        global batch is a disjoint partition across processes (the JAX-native
+        replacement for accelerate's per-rank DistributedSampler)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -262,13 +268,19 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        assert 0 <= shard_id < num_shards
+        self.num_shards = num_shards
+        self.shard_id = shard_id
 
     def _index_stream(self):
         rng = np.random.default_rng(self.seed)
         n = len(self.dataset)
         while True:
             order = rng.permutation(n) if self.shuffle else np.arange(n)
-            for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
+            if self.num_shards > 1:
+                order = order[self.shard_id :: self.num_shards]
+            limit = len(order) - (self.batch_size - 1 if self.drop_last else 0)
+            for i in range(0, limit, self.batch_size):
                 yield order[i : i + self.batch_size]
 
     @staticmethod

@@ -108,3 +108,16 @@ def test_text_conditional_dataset(tmp_path):
 
     caps, embs = ds.random_embeddings(3, np.random.default_rng(1))
     assert len(caps) == 3 and embs.shape == (3, 512)
+
+
+def test_dataloader_sharding(image_folder):
+    """Shards partition each epoch's permutation disjointly."""
+    ds = ImageFolderDataset(image_folder, image_size=16)
+    idx_sets = []
+    for shard in range(2):
+        dl = DataLoader(ds, batch_size=3, num_workers=1, seed=7,
+                        num_shards=2, shard_id=shard)
+        gen = dl._index_stream()
+        epoch = np.concatenate([next(gen), next(gen)])
+        idx_sets.append(set(epoch.tolist()))
+    assert idx_sets[0].isdisjoint(idx_sets[1])

@@ -219,3 +219,27 @@ def test_offset_noise_loss():
     img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
     loss = diff.loss(params, jax.random.PRNGKey(2), img)
     assert np.isfinite(float(loss))
+
+
+def test_immiscible_greedy_in_jit():
+    """Greedy assignment runs entirely in-jit and yields a permutation with
+    cost <= the identity assignment."""
+    diff = tiny_diffusion(immiscible=True, immiscible_mode="greedy")
+    x0 = jax.random.normal(jax.random.PRNGKey(20), (8, 16, 16, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(21), (8, 16, 16, 3))
+
+    assign = jax.jit(diff._noise_assignment)(x0, noise)
+    assign = np.asarray(assign)
+    assert sorted(assign.tolist()) == list(range(8))  # a permutation
+
+    xf = np.asarray(x0).reshape(8, -1)
+    nf = np.asarray(noise).reshape(8, -1)
+    dist = np.linalg.norm(xf[:, None] - nf[None, :], axis=-1)
+    greedy_cost = dist[np.arange(8), assign].sum()
+    identity_cost = np.trace(dist)
+    assert greedy_cost <= identity_cost + 1e-4
+
+    # whole q_sample jits (no host callback in the greedy path)
+    t = jnp.zeros((8,), jnp.int32)
+    out = jax.jit(lambda a, b, c: diff.q_sample(a, b, c))(x0, t, noise)
+    assert np.all(np.isfinite(np.asarray(out)))
