@@ -269,6 +269,128 @@ def unet_params_to_reference_state_dict(params: Dict, num_stages: int = 4) -> Di
     return sd
 
 
+# --------------------------------------------------------------- VAE (LDM)
+
+import re as _re
+
+# (flax module-path regex → torch module-prefix builder). The FINAL group of
+# each pattern captures the remaining flax sub-module path (may be empty).
+_VAE_PATH_RULES = [
+    (r"^(encoder|decoder)/(down|up)_(\d+)_block_(\d+)(?:/(.*))?$",
+     lambda m: f"{m.group(1)}.{m.group(2)}.{m.group(3)}.block.{m.group(4)}"),
+    (r"^(encoder|decoder)/(down|up)_(\d+)_attn_(\d+)(?:/(.*))?$",
+     lambda m: f"{m.group(1)}.{m.group(2)}.{m.group(3)}.attn.{m.group(4)}"),
+    (r"^(encoder)/down_(\d+)_downsample(?:/(.*))?$",
+     lambda m: f"{m.group(1)}.down.{m.group(2)}.downsample"),
+    (r"^(decoder)/up_(\d+)_upsample(?:/(.*))?$",
+     lambda m: f"{m.group(1)}.up.{m.group(2)}.upsample"),
+    (r"^(encoder|decoder)/mid_(block_1|block_2|attn_1)(?:/(.*))?$",
+     lambda m: f"{m.group(1)}.mid.{m.group(2)}"),
+    (r"^(encoder|decoder)/(conv_in|conv_out|norm_out)(?:/(.*))?$",
+     lambda m: f"{m.group(1)}.{m.group(2)}"),
+    (r"^(quant_conv|post_quant_conv)(?:/(.*))?$", lambda m: m.group(1)),
+    (r"^quantize(?:/(.*))?$", lambda m: "quantize"),
+]
+
+
+def _vae_flax_path_to_torch_key(path: str):
+    """flax param path → (torch key, transform ∈ {'conv_or_dense','plain'})."""
+    parts = path.strip("/").split("/")
+    leaf = parts[-1]
+    if len(parts) >= 2 and parts[-2] == "GroupNorm_0":
+        # VAEGroupNorm wraps nn.GroupNorm; torch GroupNorm is weight/bias
+        flax_mod = "/".join(parts[:-2])
+        torch_leaf = "weight" if leaf == "scale" else "bias"
+        transform = "plain"
+    elif leaf == "embedding":
+        return "quantize.embedding.weight", "plain"
+    else:
+        flax_mod = "/".join(parts[:-1])
+        if leaf == "kernel":
+            torch_leaf, transform = "weight", "conv_or_dense"
+        else:
+            torch_leaf, transform = leaf, "plain"
+
+    for pattern, build in _VAE_PATH_RULES:
+        m = _re.match(pattern, flax_mod)
+        if m:
+            tail = (m.groups()[-1] or "").replace("/", ".")
+            prefix = build(m)
+            key = ".".join(x for x in (prefix, tail, torch_leaf) if x)
+            return key, transform
+    return None, None
+
+
+def vae_params_to_reference_state_dict(params) -> Dict:
+    """Flax `VQModel`/`AutoencoderKL` params → CompVis-layout numpy state
+    dict (keys as consumed by `ldm/models/autoencoder.py:init_from_ckpt`)."""
+    import jax
+
+    sd: Dict[str, np.ndarray] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        pstr = "/".join(getattr(p, "key", str(p)) for p in path)
+        key, transform = _vae_flax_path_to_torch_key(pstr)
+        assert key is not None, f"unmapped VAE param path: {pstr}"
+        arr = _t(leaf)
+        if transform == "conv_or_dense":
+            if arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO → OIHW
+            elif arr.ndim == 2:
+                arr = arr.T
+        sd[key] = arr
+    return sd
+
+
+def reference_vae_state_dict_to_flax(sd: Dict, template_params) -> Dict:
+    """CompVis VQModel/AutoencoderKL state dict → Flax params, using the
+    target param tree as the naming/shape template."""
+    import jax
+
+    flat = jax.tree_util.tree_leaves_with_path(template_params)
+    out = jax.tree_util.tree_map(lambda x: x, template_params)
+
+    def set_path(tree, parts, value):
+        node = tree
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = value
+
+    for path, leaf in flat:
+        parts = [getattr(p, "key", str(p)) for p in path]
+        pstr = "/".join(parts)
+        key, transform = _vae_flax_path_to_torch_key(pstr)
+        assert key is not None, f"unmapped VAE param path: {pstr}"
+        assert key in sd, f"missing key in state dict: {key}"
+        arr = _t(sd[key])
+        if transform == "conv_or_dense":
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+            elif arr.ndim == 2:
+                arr = arr.T
+        assert arr.shape == leaf.shape, (pstr, key, arr.shape, leaf.shape)
+        set_path(out, parts, jnp.asarray(arr))
+    return out
+
+
+def load_reference_vae_checkpoint(path, vqmodel, rng=None):
+    """Load a reference Lightning VAE ckpt (`state_dict` key) into Flax
+    params for `vqmodel` (a `models.vae.VQModel`/`AutoencoderKL`)."""
+    import torch
+    import jax
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    sd = data.get("state_dict", data)
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in sd.items()
+    }
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    res = vqmodel.ddconfig["resolution"]
+    x0 = jnp.zeros((1, res, res, vqmodel.ddconfig["in_channels"]))
+    template = vqmodel.init({"params": rng}, x0)["params"]
+    return reference_vae_state_dict_to_flax(sd, template)
+
+
 def load_reference_checkpoint(path, num_stages: int = 4, use_ema: bool = True):
     """Load a reference `model-<N>.pt` and return
     `{"step": int, "params": flax unet params}`.

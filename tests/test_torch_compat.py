@@ -90,3 +90,84 @@ def test_torch_checkpoint_loading(tmp_path):
     out_a = model.apply({"params": params}, x, t)
     out_b = model.apply({"params": restored["params"]}, x, t)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+# ------------------------------------------------------------------ VAE
+
+
+def make_vae():
+    from diffusion_models_tpu.models.vae import VQModel
+
+    dd = dict(double_z=False, z_channels=3, resolution=32, in_channels=3,
+              out_ch=3, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=[16], dropout=0.0)
+    model = VQModel(ddconfig=dd, n_embed=32, embed_dim=3)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    return model, params
+
+
+def test_vae_roundtrip_exact():
+    from diffusion_models_tpu.utils.torch_compat import (
+        reference_vae_state_dict_to_flax,
+        vae_params_to_reference_state_dict,
+    )
+
+    model, params = make_vae()
+    sd = vae_params_to_reference_state_dict(params)
+    back = reference_vae_state_dict_to_flax(sd, params)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(pa)
+        )
+
+
+def test_vae_state_dict_compvis_naming():
+    from diffusion_models_tpu.utils.torch_compat import (
+        vae_params_to_reference_state_dict,
+    )
+
+    _, params = make_vae()
+    sd = vae_params_to_reference_state_dict(params)
+    for key in [
+        "encoder.conv_in.weight",
+        "encoder.down.0.block.0.norm1.weight",
+        "encoder.down.0.block.0.conv1.weight",
+        "encoder.down.0.downsample.conv.weight",
+        "encoder.mid.block_1.conv1.weight",
+        "encoder.mid.attn_1.q.weight",
+        "encoder.norm_out.weight",
+        "decoder.up.1.block.0.conv1.weight",
+        "decoder.up.1.upsample.conv.weight",
+        "quantize.embedding.weight",
+        "quant_conv.weight",
+        "post_quant_conv.weight",
+    ]:
+        assert key in sd, (key, sorted(sd)[:20])
+    assert sd["encoder.conv_in.weight"].shape == (16, 3, 3, 3)  # OIHW
+    assert sd["quantize.embedding.weight"].shape == (32, 3)
+
+
+def test_vae_lightning_checkpoint_loading(tmp_path):
+    import torch
+
+    from diffusion_models_tpu.utils.torch_compat import (
+        load_reference_vae_checkpoint,
+        vae_params_to_reference_state_dict,
+    )
+
+    model, params = make_vae()
+    sd = vae_params_to_reference_state_dict(params)
+    ckpt = {"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}}
+    path = tmp_path / "vae.ckpt"
+    torch.save(ckpt, path)
+
+    restored = load_reference_vae_checkpoint(path, model)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+    out_a, _, _ = model.apply({"params": params}, x)
+    out_b, _, _ = model.apply({"params": restored}, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
