@@ -210,12 +210,14 @@ class Attention(nn.Module):
 
 class LinearAttention(nn.Module):
     """O(N) linear attention with memory KV and a gated output norm
-    (`denoising_diffusion.py:150-193`)."""
+    (`denoising_diffusion.py:150-193`). `flash=True` routes the
+    softmax/contraction chain through the fused Pallas kernel."""
 
     dim: int
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
+    flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -250,7 +252,14 @@ class LinearAttention(nn.Module):
         k = jnp.concatenate([mk, k], axis=-1)
         v = jnp.concatenate([mv, v], axis=-1)
 
-        out = linear_attention(q, k, v, scale=self.dim_head**-0.5)
+        if self.flash:
+            from diffusion_models_tpu.ops.pallas.linear_attention import (
+                fused_linear_attention,
+            )
+
+            out = fused_linear_attention(q, k, v, scale=self.dim_head**-0.5)
+        else:
+            out = linear_attention(q, k, v, scale=self.dim_head**-0.5)
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
         out = nn.Conv(
             self.dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
@@ -516,8 +525,8 @@ class Unet(nn.Module):
             zip(in_out, full_attn, attn_heads, attn_dim_head)
         ):
             is_last = ind >= (num_resolutions - 1)
-            attn_cls = (
-                partial(Attention, flash=self.flash_attn) if fa else LinearAttention
+            attn_cls = partial(
+                Attention if fa else LinearAttention, flash=self.flash_attn
             )
 
             x = resnet(dim_in, name=f"down_{ind}_block1")(x, t, train=train)
@@ -559,8 +568,8 @@ class Unet(nn.Module):
             )
         ):
             is_last = ind == (num_resolutions - 1)
-            attn_cls = (
-                partial(Attention, flash=self.flash_attn) if fa else LinearAttention
+            attn_cls = partial(
+                Attention if fa else LinearAttention, flash=self.flash_attn
             )
 
             x = jnp.concatenate([x, hs.pop()], axis=-1)

@@ -150,6 +150,34 @@ def reference_unet_state_dict_to_flax(sd: Dict, num_stages: int = 4) -> Dict:
             "weights": jnp.asarray(_t(sd["sinu_pos_emb.weights"]))
         }
 
+    # text-conditional extensions (`denoising_diffusion_text_conditional.py`:
+    # embedding-concat MLP :110-115, cross-attention trio :123-125)
+    if "text_proj.0.weight" in sd:
+        params["text_proj_dense1"] = {
+            "kernel": _dense_to_flax(sd["text_proj.0.weight"]),
+            "bias": jnp.asarray(_t(sd["text_proj.0.bias"])),
+        }
+        params["text_proj_dense2"] = {
+            "kernel": _dense_to_flax(sd["text_proj.2.weight"]),
+            "bias": jnp.asarray(_t(sd["text_proj.2.bias"])),
+        }
+        params["text_concat_proj"] = {
+            "kernel": _dense_to_flax(sd["text_concat_proj.weight"]),
+            "bias": jnp.asarray(_t(sd["text_concat_proj.bias"])),
+        }
+    for name in ("cross_attn", "cross_attn_down", "cross_attn_up"):
+        if f"{name}.to_q.weight" in sd:
+            params[name] = {
+                "to_q": {"kernel": _dense_to_flax(sd[f"{name}.to_q.weight"])},
+                "to_k": {"kernel": _dense_to_flax(sd[f"{name}.to_k.weight"])},
+                "to_v": {"kernel": _dense_to_flax(sd[f"{name}.to_v.weight"])},
+                "to_out": {
+                    "kernel": _dense_to_flax(sd[f"{name}.to_out.0.weight"]),
+                    "bias": jnp.asarray(_t(sd[f"{name}.to_out.0.bias"])),
+                },
+                "out_norm": {"g": _rms_g_to_flax(sd[f"{name}.to_out.1.g"])},
+            }
+
     for i in range(num_stages):
         params[f"down_{i}_block1"] = _resnet_block_to_flax(sd, f"downs.{i}.0")
         params[f"down_{i}_block2"] = _resnet_block_to_flax(sd, f"downs.{i}.1")
@@ -226,6 +254,23 @@ def unet_params_to_reference_state_dict(params: Dict, num_stages: int = 4) -> Di
     sd["time_mlp.3.bias"] = _t(params["time_dense2"]["bias"])
     if "sinu_pos_emb" in params and "weights" in params["sinu_pos_emb"]:
         sd["sinu_pos_emb.weights"] = _t(params["sinu_pos_emb"]["weights"])
+
+    if "text_proj_dense1" in params:
+        sd["text_proj.0.weight"] = _t(params["text_proj_dense1"]["kernel"]).T
+        sd["text_proj.0.bias"] = _t(params["text_proj_dense1"]["bias"])
+        sd["text_proj.2.weight"] = _t(params["text_proj_dense2"]["kernel"]).T
+        sd["text_proj.2.bias"] = _t(params["text_proj_dense2"]["bias"])
+        sd["text_concat_proj.weight"] = _t(params["text_concat_proj"]["kernel"]).T
+        sd["text_concat_proj.bias"] = _t(params["text_concat_proj"]["bias"])
+    for name in ("cross_attn", "cross_attn_down", "cross_attn_up"):
+        if name in params:
+            p = params[name]
+            sd[f"{name}.to_q.weight"] = _t(p["to_q"]["kernel"]).T
+            sd[f"{name}.to_k.weight"] = _t(p["to_k"]["kernel"]).T
+            sd[f"{name}.to_v.weight"] = _t(p["to_v"]["kernel"]).T
+            sd[f"{name}.to_out.0.weight"] = _t(p["to_out"]["kernel"]).T
+            sd[f"{name}.to_out.0.bias"] = _t(p["to_out"]["bias"])
+            sd[f"{name}.to_out.1.g"] = _t(p["out_norm"]["g"]).reshape(1, -1)
 
     for i in range(num_stages):
         _resnet_block_to_torch(params[f"down_{i}_block1"], f"downs.{i}.0", sd)

@@ -59,3 +59,18 @@ def test_fused_ddim_step_matches_formula():
     eps_re = (a * np.asarray(x) - x0) / b
     expect = x0 * an + c * eps_re + sigma * np.asarray(noise)
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_fused_linear_attention_matches_reference():
+    from diffusion_models_tpu.ops.attention import linear_attention
+    from diffusion_models_tpu.ops.pallas.linear_attention import (
+        fused_linear_attention,
+    )
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 200))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 204))  # +mem kv
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 32, 204))
+
+    ref = linear_attention(q, k, v, scale=32**-0.5)
+    out = fused_linear_attention(q, k, v, scale=32**-0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -171,3 +171,54 @@ def test_vae_lightning_checkpoint_loading(tmp_path):
     out_a, _, _ = model.apply({"params": params}, x)
     out_b, _, _ = model.apply({"params": restored}, x)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+def test_text_conditional_roundtrip():
+    from diffusion_models_tpu.utils.torch_compat import (
+        reference_unet_state_dict_to_flax,
+        unet_params_to_reference_state_dict,
+    )
+
+    model = Unet(
+        dim=8, dim_mults=(1, 2), channels=3,
+        text_condition=True, text_emb_dim=16, use_cross_attn=True,
+    )
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    emb = jnp.zeros((1, 16))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, t, None, emb)[
+        "params"
+    ]
+    sd = unet_params_to_reference_state_dict(params, num_stages=2)
+    for key in ("cross_attn.to_q.weight", "cross_attn_down.to_out.1.g",
+                "cross_attn_up.to_k.weight"):
+        assert key in sd
+
+    back = reference_unet_state_dict_to_flax(sd, num_stages=2)
+    out_a = model.apply({"params": params}, x, t, None, emb)
+    out_b = model.apply({"params": back}, x, t, None, emb)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_text_embed_concat_roundtrip():
+    from diffusion_models_tpu.utils.torch_compat import (
+        reference_unet_state_dict_to_flax,
+        unet_params_to_reference_state_dict,
+    )
+
+    model = Unet(
+        dim=8, dim_mults=(1, 2), channels=3,
+        text_condition=True, text_emb_dim=16, use_cross_attn=False,
+    )
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    emb = jnp.ones((1, 16))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, t, None, emb)[
+        "params"
+    ]
+    sd = unet_params_to_reference_state_dict(params, num_stages=2)
+    assert "text_proj.0.weight" in sd and "text_concat_proj.weight" in sd
+    back = reference_unet_state_dict_to_flax(sd, num_stages=2)
+    out_a = model.apply({"params": params}, x, t, None, emb)
+    out_b = model.apply({"params": back}, x, t, None, emb)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
