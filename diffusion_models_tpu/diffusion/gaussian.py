@@ -74,6 +74,7 @@ class GaussianDiffusion:
         immiscible_mode: str = "hungarian",
         ddpm: bool = True,
         hybrid_loss: bool = False,
+        remat: bool = False,
     ):
         self.model = model
         self.channels = model.channels
@@ -110,6 +111,10 @@ class GaussianDiffusion:
         assert immiscible_mode in ("hungarian", "greedy")
         self.immiscible_mode = immiscible_mode
         self.hybrid_loss = hybrid_loss
+        # rematerialization: recompute denoiser activations in the backward
+        # pass instead of storing them — trades FLOPs for HBM, the standard
+        # TPU lever for denoisers too large to fit activations at full batch
+        self.remat = remat
 
         self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
         self.unnormalize = unnormalize_to_zero_to_one if auto_normalize else identity
@@ -151,15 +156,23 @@ class GaussianDiffusion:
         duplicating the samplers (unlike the reference, which copies
         p_sample/ddim_sample per conditional class)."""
         rngs = {"dropout": rng} if rng is not None else None
+
+        # statics (train flag, rng dict structure, cond presence) live in the
+        # closure so jax.checkpoint only sees array arguments
         if cond is None:
-            out = self.model.apply(
-                {"params": params}, x, t, x_self_cond, train=train, rngs=rngs
+            fwd = lambda p, x_, t_, sc: self.model.apply(
+                {"params": p}, x_, t_, sc, train=train, rngs=rngs
             )
+            args = (params, x, t, x_self_cond)
         else:
-            out = self.model.apply(
-                {"params": params}, x, t, x_self_cond, cond, train=train, rngs=rngs
+            fwd = lambda p, x_, t_, sc, c_: self.model.apply(
+                {"params": p}, x_, t_, sc, c_, train=train, rngs=rngs
             )
-        return out.astype(jnp.float32)
+            args = (params, x, t, x_self_cond, cond)
+
+        if self.remat and train:
+            fwd = jax.checkpoint(fwd)
+        return fwd(*args).astype(jnp.float32)
 
     # --------------------------------------------------------- pure numerics
 

@@ -243,3 +243,21 @@ def test_immiscible_greedy_in_jit():
     t = jnp.zeros((8,), jnp.int32)
     out = jax.jit(lambda a, b, c: diff.q_sample(a, b, c))(x0, t, noise)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_remat_matches_no_remat():
+    """remat=True changes memory strategy only — loss and grads identical."""
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    d0 = GaussianDiffusion(model, image_size=16, timesteps=10,
+                           beta_schedule="cosine", remat=False)
+    d1 = GaussianDiffusion(model, image_size=16, timesteps=10,
+                           beta_schedule="cosine", remat=True)
+    params = d0.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    rng = jax.random.PRNGKey(2)
+
+    l0, g0 = jax.value_and_grad(d0.loss)(params, rng, img)
+    l1, g1 = jax.value_and_grad(d1.loss)(params, rng, img)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
