@@ -141,5 +141,11 @@ class TextConditionalTrainer(Trainer):
         with open(self.results_folder / f"sample-{milestone}.txt", "w") as f:
             f.write("\n".join(captions))
         self.writer.image("Samples", grid[0], step)
+        # caption tiles alongside the grid (reference `log_txt_as_img`)
+        from diffusion_models_tpu.utils.image import log_txt_as_img
+
+        caption_tiles = log_txt_as_img(grid.shape[1:3][::-1], captions[:1])
+        self.writer.image("Captions", caption_tiles[0], step)
+        self.writer.text("Captions/text", "; ".join(captions), step)
 
         ImageConditionalTrainer._conditional_eval_and_save(self, step, milestone)

@@ -57,6 +57,24 @@ def unnormalize_to_zero_to_one(t):
     return (t + 1) * 0.5
 
 
+def parallel_data_prefetch(func, data, n_workers: int = 8, as_array: bool = True):
+    """Parallel map over a sequence (reference `ldm/util.py:108`
+    `parallel_data_prefetch`, which shells out to mp.Process/Queue). Threads
+    suffice here: the intended workloads (image decode/IO) release the GIL."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
+        out = list(pool.map(func, data))
+    if as_array:
+        import numpy as np
+
+        try:
+            return np.stack(out)
+        except ValueError:
+            return out
+    return out
+
+
 def count_params(params, verbose: bool = False) -> int:
     """Total parameter count of a pytree (reference `ldm/util.py:71`)."""
     import jax
