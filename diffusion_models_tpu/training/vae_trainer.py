@@ -164,24 +164,30 @@ class VAETrainer:
                 nll = loss_mod.reconstruction_loss(x, xrec)
                 logits_fake = self.disc.apply({"params": state.d_params}, xrec)
 
-                # adaptive d_weight via grads w.r.t. last decoder conv only
+                # adaptive d_weight needs ∇nll and ∇g w.r.t. the LAST decoder
+                # conv kernel. ONE shared vjp through the reconstruction
+                # (fwd once, two pullbacks) instead of two full re-forwards.
                 last_w = g_params["decoder"]["conv_out"]["kernel"]
 
-                def nll_of(lw):
+                def recon_of(lw):
                     xr, _, _ = self._reconstruct(set_last(g_params, lw), x, rng)
-                    return loss_mod.reconstruction_loss(x, xr)
+                    return xr
 
-                def g_of(lw):
-                    xr, _, _ = self._reconstruct(set_last(g_params, lw), x, rng)
-                    return -jnp.mean(self.disc.apply({"params": state.d_params}, xr))
+                xrec2, pullback = jax.vjp(recon_of, last_w)
+                d_nll_d_xrec = jax.grad(
+                    lambda xr: loss_mod.reconstruction_loss(x, xr)
+                )(xrec2)
+                d_g_d_xrec = jax.grad(
+                    lambda xr: -jnp.mean(self.disc.apply({"params": state.d_params}, xr))
+                )(xrec2)
 
                 from diffusion_models_tpu.training.vae_losses import (
                     adaptive_d_weight,
                 )
 
                 d_weight = adaptive_d_weight(
-                    jax.grad(nll_of)(last_w),
-                    jax.grad(g_of)(last_w),
+                    pullback(d_nll_d_xrec)[0],
+                    pullback(d_g_d_xrec)[0],
                     loss_mod.discriminator_weight,
                 )
                 total, aux = loss_mod.generator_loss(
