@@ -125,3 +125,31 @@ def test_anomaly_detection(img_folder, tmp_path):
     with _pytest.raises(FloatingPointError):
         trainer.train()
     assert trainer.ckpt.exists("anomaly")
+
+
+def test_milestone_eval_with_fid(img_folder, tmp_path):
+    """Full milestone eval path with FID enabled (random inception weights —
+    exercises sample-grid + fake generation + stats caching + scoring +
+    checkpointing inside Trainer.train)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        trainer = make_trainer(
+            img_folder, tmp_path, train_num_steps=2,
+            save_and_sample_every=2, num_samples=4,
+            calculate_fid=True, num_fid_samples=8,
+        )
+        trainer.train()
+    results = tmp_path / "results"
+    assert (results / "sample-1.png").exists()
+    assert (results / "dataset_stats.npz").exists()
+    assert trainer.ckpt.milestones() == [1]
+    # FID scalar logged
+    import json
+
+    lines = [
+        json.loads(l)
+        for l in (results / "tensorboard_logs" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any(l["tag"] == "Eval/FID" for l in lines)
