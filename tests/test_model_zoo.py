@@ -235,3 +235,22 @@ def test_inv_sqrt_decay_schedule():
     sched = sched = inv_sqrt_decay_schedule(1.0, t_ref=100, sigma_ref=0.01)
     np.testing.assert_allclose(float(sched(50)), 0.01, rtol=1e-6)  # flat before t_ref
     np.testing.assert_allclose(float(sched(400)), 0.005, rtol=1e-6)  # 1/sqrt(4)
+
+
+def test_karras_unet_3d_forward():
+    from diffusion_models_tpu.models.karras_unet import KarrasUnetND
+
+    model = KarrasUnetND(
+        image_size=8, rank=3, dim=8, dim_max=16, channels=2,
+        num_downsamples=1, num_blocks_per_stage=1, attn_res=(4,),
+        attn_dim_head=8,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8, 2))
+    t = jnp.ones((1,))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x, t,
+    )["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out)))
