@@ -360,6 +360,12 @@ class KarrasUnetND(nn.Module):
     def needs_class_labels(self):
         return exists(self.num_classes)
 
+    # MPFourier features condition on continuous noise levels, so this net
+    # is valid for the σ-space processes (ElucidatedDiffusion asserts this)
+    learned_sinusoidal_cond = True
+    random_fourier_features = False
+    self_conditionable = True
+
     @nn.compact
     def __call__(self, x, time, self_cond=None, class_labels=None,
                  *, train: bool = False):

@@ -400,6 +400,13 @@ class VQModel(nn.Module):
     def decode(self, quant, *, train: bool = False):
         return self.decoder(self.post_quant_conv(quant), train=train)
 
+    def decode_prequant(self, h, *, train: bool = False):
+        """Quantize-then-decode pre-quant latents — the `VQModelInterface.
+        decode` behavior (`autoencoder.py:328-336`), pairing with
+        `encode_to_prequant`."""
+        quant, _, _ = self.quantize(h)
+        return self.decode(quant, train=train)
+
     def decode_code(self, code_b):
         quant = self.quantize.embedding[code_b]
         return self.decode(quant)

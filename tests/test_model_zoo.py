@@ -254,3 +254,24 @@ def test_karras_unet_3d_forward():
     out = model.apply({"params": params}, x, t)
     assert out.shape == x.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_karras_unet_in_elucidated_diffusion():
+    """The natural EDM2 pairing: KarrasUnet as the EDM denoiser."""
+    from diffusion_models_tpu.diffusion.elucidated import ElucidatedDiffusion
+    from diffusion_models_tpu.models.karras_unet import KarrasUnetND
+
+    net = KarrasUnetND(
+        image_size=16, dim=16, dim_max=32, channels=3,
+        num_downsamples=1, num_blocks_per_stage=1, attn_res=(8,),
+        attn_dim_head=8,
+    )
+    edm = ElucidatedDiffusion(net, image_size=16, channels=3,
+                              num_sample_steps=3)
+    params = edm.init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    loss = jax.jit(edm.loss)(params, jax.random.PRNGKey(2), img)
+    assert np.isfinite(float(loss))
+    out = edm.sample(params, jax.random.PRNGKey(3), batch_size=2)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))

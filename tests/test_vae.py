@@ -190,3 +190,17 @@ def test_vae_trainer_two_steps(tmp_path):
     )
     trainer2.load(1)
     assert int(trainer2.state.step) == 2
+
+
+def test_vqmodel_prequant_interface():
+    """encode_to_prequant / decode_prequant pair (VQModelInterface parity)."""
+    model = VQModel(ddconfig=DDCONFIG, n_embed=64, embed_dim=3)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3)) * 2 - 1
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    h = model.apply({"params": params}, x, method=model.encode_to_prequant)
+    assert h.shape == (2, 16, 16, 3)
+    dec = model.apply({"params": params}, h, method=model.decode_prequant)
+    assert dec.shape == x.shape
+    # matches the full quantized pipeline
+    dec_full, _, _ = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_full), atol=1e-5)
