@@ -1,0 +1,84 @@
+"""Fused q_sample (+ optional MSE-vs-noise reduction) Pallas kernel.
+
+The training hot path noises a batch and compares the denoiser output to the
+noise (`q_sample` + the MSE in `p_losses` — reference
+`denoising_diffusion.py:811-867`). XLA fuses these chains well; this kernel
+guarantees the minimal-HBM form for the two bandwidth-bound endpoints of the
+train step:
+
+  fused_q_sample:       x_t = √ᾱ_t·x0 + √(1−ᾱ_t)·ε  with the per-sample
+                        coefficients gathered on-chip (one read of x0/ε,
+                        one write of x_t).
+  fused_mse_per_sample: per-sample mean((a−b)²) with a single pass
+                        (read a, b once; write B scalars).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _q_sample_kernel(coef_a_ref, coef_b_ref, x0_ref, noise_ref, o_ref):
+    # one program per batch element; coefficients prefetched to SMEM
+    i = pl.program_id(0)
+    a = coef_a_ref[i]
+    b = coef_b_ref[i]
+    o_ref[...] = a * x0_ref[...] + b * noise_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_q_sample(x_start, noise, sqrt_ac_t, sqrt_om_ac_t, interpret: bool = False):
+    """x_start/noise: (B, ...) f32; sqrt_ac_t/sqrt_om_ac_t: (B,) gathered
+    schedule coefficients. Returns x_t with one HBM pass."""
+    b = x_start.shape[0]
+    flat = x_start.reshape(b, -1).astype(jnp.float32)
+    nf = noise.reshape(b, -1).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, flat.shape[1]), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, flat.shape[1]), lambda i, *_: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, flat.shape[1]), lambda i, *_: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _q_sample_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        interpret=interpret,
+    )(sqrt_ac_t.astype(jnp.float32), sqrt_om_ac_t.astype(jnp.float32), flat, nf)
+    return out.reshape(x_start.shape)
+
+
+def _mse_kernel(a_ref, b_ref, o_ref):
+    d = a_ref[...].astype(jnp.float32) - b_ref[...].astype(jnp.float32)
+    o_ref[0, 0] = jnp.mean(d * d)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_mse_per_sample(a, b, interpret: bool = False):
+    """(B, ...) × 2 → (B,) per-sample mean squared error, one pass."""
+    bsz = a.shape[0]
+    fa = a.reshape(bsz, -1).astype(jnp.float32)
+    fb = b.reshape(bsz, -1).astype(jnp.float32)
+    out = pl.pallas_call(
+        _mse_kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, fa.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((1, fa.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+        interpret=interpret,
+    )(fa, fb)
+    return out[:, 0]

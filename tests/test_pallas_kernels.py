@@ -74,3 +74,30 @@ def test_fused_linear_attention_matches_reference():
     ref = linear_attention(q, k, v, scale=32**-0.5)
     out = fused_linear_attention(q, k, v, scale=32**-0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_q_sample_matches_formula():
+    from diffusion_models_tpu.ops.pallas.q_sample import fused_q_sample
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 16, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    a = jnp.array([0.9, 0.5, 0.1])
+    b = jnp.array([0.436, 0.866, 0.995])
+    out = fused_q_sample(x0, noise, a, b, interpret=True)
+    expect = (
+        np.asarray(a)[:, None, None, None] * np.asarray(x0)
+        + np.asarray(b)[:, None, None, None] * np.asarray(noise)
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-6)
+
+
+def test_fused_mse_per_sample():
+    from diffusion_models_tpu.ops.pallas.q_sample import fused_mse_per_sample
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 3))
+    b = jax.random.normal(jax.random.PRNGKey(1), a.shape)
+    out = fused_mse_per_sample(a, b, interpret=True)
+    expect = np.mean(
+        (np.asarray(a) - np.asarray(b)) ** 2, axis=(1, 2, 3)
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
