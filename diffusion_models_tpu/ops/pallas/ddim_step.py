@@ -12,7 +12,8 @@ default sampling path):
     x0   = clip(a·x − b·ε̂, −1, 1)          a = √(1/ᾱ_t), b = √(1/ᾱ_t − 1)
     ε̂'   = (a·x − x0) / b
     out  = x0·√ᾱ_next + c·ε̂' + σ·z
-Scalar coefficients come in via SMEM.
+The five scalar coefficients ride the scalar-prefetch path (SMEM); the grid
+is one program per batch row with VMEM blocks.
 """
 
 from __future__ import annotations
@@ -44,21 +45,37 @@ def _ddim_kernel(coef_ref, x_ref, eps_ref, noise_ref, o_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_ddim_step(x, eps_pred, noise, coefs, interpret: bool = False):
-    """x, eps_pred, noise: (B, H, W, C); coefs: (5,) f32 scalars
+    """x, eps_pred, noise: (B, ...) arrays; coefs: (5,) f32 scalars
     [sqrt_recip_ac, sqrt_recipm1_ac, sqrt(alpha_next), c, sigma]."""
-    flat = x.reshape(x.shape[0], -1)
-    epsf = eps_pred.reshape(flat.shape)
-    noisef = noise.reshape(flat.shape)
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    feat = flat.shape[1]
+    # lane-align: (B, F) -> (B, R, 128) so per-sample blocks satisfy the
+    # (sublane, lane) tiling constraints
+    pad = (-feat) % 128
+    def to_tiles(a):
+        a = a.reshape(b, -1)
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(b, (feat + pad) // 128, 128)
+
+    xt, epst, noiset = to_tiles(flat), to_tiles(eps_pred), to_tiles(noise)
+    r = xt.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
+    )
     out = pl.pallas_call(
         _ddim_kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct(flat.shape, x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
         interpret=interpret,
-    )(coefs.astype(jnp.float32), flat, epsf, noisef)
-    return out.reshape(x.shape)
+    )(coefs.astype(jnp.float32), xt, epst, noiset)
+    return out.reshape(b, feat + pad)[:, :feat].reshape(x.shape)

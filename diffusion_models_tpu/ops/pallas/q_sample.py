@@ -23,6 +23,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _to_tiles(a, b, feat, pad):
+    a = a.reshape(b, -1).astype(jnp.float32)
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+    return a.reshape(b, (feat + pad) // 128, 128)
+
+
 def _q_sample_kernel(coef_a_ref, coef_b_ref, x0_ref, noise_ref, o_ref):
     # one program per batch element; coefficients prefetched to SMEM
     i = pl.program_id(0)
@@ -36,49 +43,64 @@ def fused_q_sample(x_start, noise, sqrt_ac_t, sqrt_om_ac_t, interpret: bool = Fa
     """x_start/noise: (B, ...) f32; sqrt_ac_t/sqrt_om_ac_t: (B,) gathered
     schedule coefficients. Returns x_t with one HBM pass."""
     b = x_start.shape[0]
-    flat = x_start.reshape(b, -1).astype(jnp.float32)
-    nf = noise.reshape(b, -1).astype(jnp.float32)
+    feat = x_start.reshape(b, -1).shape[1]
+    pad = (-feat) % 128
+    xt = _to_tiles(x_start, b, feat, pad)
+    nt = _to_tiles(noise, b, feat, pad)
+    r = xt.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, flat.shape[1]), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, flat.shape[1]), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, flat.shape[1]), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
     )
     out = pl.pallas_call(
         _q_sample_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
         interpret=interpret,
-    )(sqrt_ac_t.astype(jnp.float32), sqrt_om_ac_t.astype(jnp.float32), flat, nf)
-    return out.reshape(x_start.shape)
+    )(sqrt_ac_t.astype(jnp.float32), sqrt_om_ac_t.astype(jnp.float32), xt, nt)
+    return out.reshape(b, feat + pad)[:, :feat].reshape(x_start.shape)
 
 
-def _mse_kernel(a_ref, b_ref, o_ref):
+def _mse_kernel(count_ref, a_ref, b_ref, o_ref):
+    i = pl.program_id(0)
     d = a_ref[...].astype(jnp.float32) - b_ref[...].astype(jnp.float32)
-    o_ref[0, 0] = jnp.mean(d * d)
+    # padded tail elements are zero in both inputs; divide by the true count
+    o_ref[i, 0] = jnp.sum(d * d) / count_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_mse_per_sample(a, b, interpret: bool = False):
     """(B, ...) × 2 → (B,) per-sample mean squared error, one pass."""
     bsz = a.shape[0]
-    fa = a.reshape(bsz, -1).astype(jnp.float32)
-    fb = b.reshape(bsz, -1).astype(jnp.float32)
-    out = pl.pallas_call(
-        _mse_kernel,
+    feat = a.reshape(bsz, -1).shape[1]
+    pad = (-feat) % 128
+    fa = _to_tiles(a, bsz, feat, pad)
+    fb = _to_tiles(b, bsz, feat, pad)
+    r = fa.shape[1]
+    count = jnp.full((1,), float(feat), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, fa.shape[1]), lambda i: (i, 0)),
-            pl.BlockSpec((1, fa.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, r, 128), lambda i, *_: (i, 0, 0)),
         ],
+        # whole-array SMEM output; each program writes its own row
         out_specs=pl.BlockSpec(
-            (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+            (bsz, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM
         ),
+    )
+    out = pl.pallas_call(
+        _mse_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
         interpret=interpret,
-    )(fa, fb)
+    )(count, fa, fb)
     return out[:, 0]
