@@ -75,6 +75,7 @@ class GaussianDiffusion:
         ddpm: bool = True,
         hybrid_loss: bool = False,
         remat: bool = False,
+        use_pallas: bool = False,
     ):
         self.model = model
         self.channels = model.channels
@@ -115,6 +116,12 @@ class GaussianDiffusion:
         # pass instead of storing them — trades FLOPs for HBM, the standard
         # TPU lever for denoisers too large to fit activations at full batch
         self.remat = remat
+        # opt-in fused Pallas kernels for the elementwise endpoints of the
+        # train/sample hot paths (q_sample, per-sample MSE, DDIM update).
+        # Non-default: measured on TPU v5e at the bench shapes, XLA's own
+        # fusion of these chains is within noise of the hand-written kernels
+        # (see docs/ROUND2_NOTES.md), so the simpler XLA path stays default.
+        self.use_pallas = use_pallas
 
         self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
         self.unnormalize = unnormalize_to_zero_to_one if auto_normalize else identity
@@ -275,6 +282,13 @@ class GaussianDiffusion:
             assign = self._noise_assignment(x_start, noise)
             noise = noise[assign]
         s = self.schedule
+        if self.use_pallas:
+            from diffusion_models_tpu.ops.pallas.q_sample import fused_q_sample
+
+            return fused_q_sample(
+                x_start, noise,
+                s.sqrt_alphas_cumprod[t], s.sqrt_one_minus_alphas_cumprod[t],
+            )
         nd = x_start.ndim
         return (
             extract(s.sqrt_alphas_cumprod, t, nd) * x_start
@@ -395,17 +409,21 @@ class GaussianDiffusion:
         img0 = jax.random.normal(init_key, shape, jnp.float32)
         pairs = self._ddim_time_pairs(sampling_timesteps)
 
+        # the fused Pallas update computes the pred_noise clip+rederive chain
+        # internally, so it applies only on that objective (and keeps x_start
+        # out of the carry, so not with self-conditioning)
+        fused = (
+            self.use_pallas
+            and self.objective == "pred_noise"
+            and not self.self_condition
+        )
+
         def step(carry, pair):
             img, x_start, key = carry
             time, time_next = pair[0], pair[1]
             key, noise_key = jax.random.split(key)
 
             t_b = jnp.full((batch,), time, jnp.int32)
-            self_cond = x_start if self.self_condition else None
-            pred_noise, x_start = self.model_predictions(
-                params, img, t_b, self_cond, cond,
-                clip_x_start=True, rederive_pred_noise=True,
-            )
 
             alpha = s.alphas_cumprod[time]
             # time_next == -1 ⇒ alpha_next = 1 ⇒ sigma = c = 0 ⇒ img = x_start,
@@ -420,7 +438,35 @@ class GaussianDiffusion:
             c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
             noise = jax.random.normal(noise_key, shape, jnp.float32)
 
-            img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            if fused:
+                from diffusion_models_tpu.ops.pallas.ddim_step import (
+                    fused_ddim_step,
+                )
+
+                eps_out = self._apply_model(
+                    params, img, t_b, None, cond, train=False, rng=None
+                )
+                coefs = jnp.stack(
+                    [
+                        s.sqrt_recip_alphas_cumprod[time],
+                        s.sqrt_recipm1_alphas_cumprod[time],
+                        jnp.sqrt(alpha_next),
+                        c,
+                        sigma,
+                    ]
+                )
+                img = fused_ddim_step(img, eps_out, noise, coefs)
+            else:
+                self_cond = x_start if self.self_condition else None
+                pred_noise, x_start = self.model_predictions(
+                    params, img, t_b, self_cond, cond,
+                    clip_x_start=True, rederive_pred_noise=True,
+                )
+                img = (
+                    x_start * jnp.sqrt(alpha_next)
+                    + c * pred_noise
+                    + sigma * noise
+                )
             return (img, x_start, key), (img if return_all_timesteps else None)
 
         (img, _, _), imgs = jax.lax.scan(
@@ -598,8 +644,15 @@ class GaussianDiffusion:
         else:  # pred_v
             target = self.predict_v(x_start, t, noise)
 
-        loss = (model_out - target) ** 2
-        loss = jnp.mean(loss.reshape(loss.shape[0], -1), axis=-1)
+        if self.use_pallas:
+            from diffusion_models_tpu.ops.pallas.q_sample import (
+                fused_mse_per_sample,
+            )
+
+            loss = fused_mse_per_sample(model_out, target)
+        else:
+            loss = (model_out - target) ** 2
+            loss = jnp.mean(loss.reshape(loss.shape[0], -1), axis=-1)
         loss = loss * extract(self.schedule.loss_weight, t, 1)
 
         if self.hybrid_loss:

@@ -44,9 +44,14 @@ def _ddim_kernel(coef_ref, x_ref, eps_ref, noise_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_ddim_step(x, eps_pred, noise, coefs, interpret: bool = False):
+def fused_ddim_step(x, eps_pred, noise, coefs,
+                    interpret: bool | None = None):
     """x, eps_pred, noise: (B, ...) arrays; coefs: (5,) f32 scalars
-    [sqrt_recip_ac, sqrt_recipm1_ac, sqrt(alpha_next), c, sigma]."""
+    [sqrt_recip_ac, sqrt_recipm1_ac, sqrt(alpha_next), c, sigma].
+
+    interpret=None auto-selects interpret mode off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b = x.shape[0]
     flat = x.reshape(b, -1)
     feat = flat.shape[1]

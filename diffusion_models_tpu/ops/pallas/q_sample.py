@@ -39,9 +39,15 @@ def _q_sample_kernel(coef_a_ref, coef_b_ref, x0_ref, noise_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_q_sample(x_start, noise, sqrt_ac_t, sqrt_om_ac_t, interpret: bool = False):
+def fused_q_sample(x_start, noise, sqrt_ac_t, sqrt_om_ac_t,
+                   interpret: bool | None = None):
     """x_start/noise: (B, ...) f32; sqrt_ac_t/sqrt_om_ac_t: (B,) gathered
-    schedule coefficients. Returns x_t with one HBM pass."""
+    schedule coefficients. Returns x_t with one HBM pass.
+
+    interpret=None auto-selects interpret mode off-TPU so the wired
+    `use_pallas` paths run (slowly but correctly) in the CPU test mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b = x_start.shape[0]
     feat = x_start.reshape(b, -1).shape[1]
     pad = (-feat) % 128
@@ -74,9 +80,39 @@ def _mse_kernel(count_ref, a_ref, b_ref, o_ref):
     o_ref[i, 0] = jnp.sum(d * d) / count_ref[0]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_mse_per_sample(a, b, interpret: bool | None = None):
+    """(B, ...) × 2 → (B,) per-sample mean squared error, one pass.
+
+    Differentiable: the backward pass is the trivial closed form
+    2·(a−b)/feat · ḡ (defined below via custom_vjp — Pallas calls have no
+    automatic JVP rule, and the hand-written gradient is a single fused
+    elementwise op under XLA anyway).
+    """
+    return _mse_fwd(a, b, interpret)[0]
+
+
+def _mse_fwd(a, b, interpret=None):
+    return _fused_mse_impl(a, b, interpret=interpret), (a, b)
+
+
+def _mse_bwd(interpret, res, g):
+    a, b = res
+    feat = 1
+    for d in a.shape[1:]:
+        feat *= d
+    g = g.reshape((a.shape[0],) + (1,) * (a.ndim - 1)).astype(jnp.float32)
+    da = 2.0 / feat * (a.astype(jnp.float32) - b.astype(jnp.float32)) * g
+    return da.astype(a.dtype), (-da).astype(b.dtype)
+
+
+fused_mse_per_sample.defvjp(_mse_fwd, _mse_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_mse_per_sample(a, b, interpret: bool = False):
-    """(B, ...) × 2 → (B,) per-sample mean squared error, one pass."""
+def _fused_mse_impl(a, b, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     bsz = a.shape[0]
     feat = a.reshape(bsz, -1).shape[1]
     pad = (-feat) % 128

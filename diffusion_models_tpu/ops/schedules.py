@@ -112,6 +112,16 @@ def make_schedule(
     if beta_schedule not in BETA_SCHEDULES:
         raise ValueError(f"unknown beta schedule {beta_schedule}")
     betas = BETA_SCHEDULES[beta_schedule](timesteps, **(schedule_fn_kwargs or {}))
+    # The rescaled linear schedule is degenerate for small T (beta_end =
+    # (1000/T)*0.02 >= 1 when T <= 20), which silently fills the posterior
+    # coefficient tables with NaN. Fail loudly instead of training on NaN.
+    if np.any(betas >= 1.0) or np.any(betas <= 0.0):
+        raise ValueError(
+            f"beta schedule '{beta_schedule}' with T={timesteps} produced "
+            f"betas outside (0, 1) (max={betas.max():.4g}); the linear "
+            "schedule needs T large enough that (1000/T)*0.02 < 1 — "
+            "use T >= 100 or the cosine schedule for small T"
+        )
 
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas, axis=0)

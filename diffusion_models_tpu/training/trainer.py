@@ -265,10 +265,23 @@ class Trainer:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def _put_batch(self, batches):
-        """Stack `accum` host batches → (accum, B, ...) on the data mesh."""
+        """Stack `accum` host batches → (accum, B, ...) on the data mesh.
+
+        Multi-host: each process holds only its 1/P shard of the global
+        batch, so the global array must be assembled from the per-process
+        shards — `device_put` with a global sharding would misinterpret the
+        host-local array as the full batch.
+        """
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *batches
         )
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.batch_sharding, x
+                ),
+                stacked,
+            )
         return jax.device_put(stacked, self.batch_sharding)
 
     def next_batch(self):
@@ -284,16 +297,22 @@ class Trainer:
 
     def generate_samples(self, total: int, rng_seed: int = 0):
         """Generate `total` EMA samples in train_batch_size chunks, as one
-        stacked [0,1] NHWC numpy array."""
+        stacked [0,1] NHWC numpy array.
+
+        Every chunk runs the sampler at the full `batch_size` and slices the
+        remainder on the host, so a milestone sweep compiles exactly ONE
+        sampler program (a remainder-sized chunk would otherwise trigger a
+        second multi-minute XLA compile per milestone on TPU).
+        """
         ema_params = self.state.ema.params
         rng = jax.random.PRNGKey(rng_seed)
         np_rng = np.random.default_rng(rng_seed)
         chunks = []
         for n in num_to_groups(total, self.batch_size):
             rng, key = jax.random.split(rng)
-            cond = self.sample_cond(n, np_rng)
-            out = self._jit_sample(ema_params, key, n, cond)
-            chunks.append(np.asarray(out))
+            cond = self.sample_cond(self.batch_size, np_rng)
+            out = self._jit_sample(ema_params, key, self.batch_size, cond)
+            chunks.append(np.asarray(out[:n]))
         return np.concatenate(chunks, axis=0)
 
     # ------------------------------------------------------------------ fid
@@ -392,6 +411,7 @@ class Trainer:
             self._install_preemption_handler()
         step = int(self.state.step)
         t0 = time.time()
+        loss = None  # stays None if the run is already complete on entry
         while step < self.train_num_steps:
             batch = self.next_batch()
             self.state, loss = self._train_step(self.state, batch, self._base_rng)
@@ -419,7 +439,8 @@ class Trainer:
             if step != 0 and step % self.save_and_sample_every == 0:
                 self._milestone_eval(step)
 
-        self.writer.scalar("Train/Loss", float(loss), step)
+        if loss is not None:
+            self.writer.scalar("Train/Loss", float(loss), step)
         print("training complete")
 
     def _milestone_eval(self, step: int):

@@ -37,8 +37,12 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from diffusion_models_tpu.models.discriminator import NLayerDiscriminator
+from diffusion_models_tpu.models.vae import AutoencoderKL
 from diffusion_models_tpu.parallel.mesh import make_mesh
-from diffusion_models_tpu.training.vae_losses import VQLPIPSWithDiscriminator
+from diffusion_models_tpu.training.vae_losses import (
+    LPIPSWithDiscriminator,
+    VQLPIPSWithDiscriminator,
+)
 from diffusion_models_tpu.utils.checkpoint import CheckpointManager
 from diffusion_models_tpu.utils.data import DataLoader, ImageFolderDataset
 from diffusion_models_tpu.utils.helpers import cycle
@@ -75,9 +79,21 @@ class VAETrainer:
         num_workers: int = 8,
     ):
         self.model = model
-        self.loss = loss or VQLPIPSWithDiscriminator(
-            disc_start=0, disc_weight=0.75, codebook_weight=1.0
-        )
+        # KL vs VQ first stage: AutoencoderKL returns (dec, posterior) and is
+        # regularized by kl_weight·KL instead of the codebook loss
+        # (reference `AutoencoderKL.training_step`, `autoencoder.py:405-424`)
+        self.is_kl = isinstance(model, AutoencoderKL)
+        if loss is None:
+            loss = (
+                LPIPSWithDiscriminator(
+                    disc_start=0, disc_weight=0.75, kl_weight=1.0
+                )
+                if self.is_kl
+                else VQLPIPSWithDiscriminator(
+                    disc_start=0, disc_weight=0.75, codebook_weight=1.0
+                )
+            )
+        self.loss = loss
         self.disc = NLayerDiscriminator(
             input_nc=self.loss.disc_in_channels,
             ndf=self.loss.disc_ndf,
@@ -106,10 +122,18 @@ class VAETrainer:
             if val_folder
             else self.train_ds
         )
+        # multi-host: each process loads its disjoint shard of every global
+        # batch (same split_batches semantics as the diffusion Trainer)
+        per_host_batch = batch_size
+        if jax.process_count() > 1:
+            assert batch_size % jax.process_count() == 0
+            per_host_batch = batch_size // jax.process_count()
         self.dl = cycle(
             DataLoader(
-                self.train_ds, batch_size=batch_size,
+                self.train_ds, batch_size=per_host_batch,
                 num_workers=num_workers, seed=seed,
+                num_shards=jax.process_count(),
+                shard_id=jax.process_index(),
             )
         )
 
@@ -120,9 +144,14 @@ class VAETrainer:
         rng = jax.random.PRNGKey(seed)
         g_rng, d_rng = jax.random.split(rng)
         x0 = jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32)
-        g_params = self.model.init({"params": g_rng, "dropout": g_rng}, x0)[
-            "params"
-        ]
+        if self.is_kl:
+            g_params = self.model.init(
+                {"params": g_rng, "dropout": g_rng}, x0, g_rng
+            )["params"]
+        else:
+            g_params = self.model.init(
+                {"params": g_rng, "dropout": g_rng}, x0
+            )["params"]
         d_params = self.disc.init({"params": d_rng}, x0)["params"]
         self.state = VAETrainState(
             step=jnp.zeros((), jnp.int32),
@@ -138,9 +167,19 @@ class VAETrainer:
     # ------------------------------------------------------------ step
 
     def _reconstruct(self, g_params, x, rng):
-        return self.model.apply(
-            {"params": g_params}, x, train=True, rngs={"dropout": rng}
+        """→ (xrec, reg, extra): reg is the codebook loss (VQ) or the
+        posterior (KL); extra is the VQ indices or None."""
+        drop_rng, post_rng = jax.random.split(rng)
+        if self.is_kl:
+            dec, posterior = self.model.apply(
+                {"params": g_params}, x, post_rng, train=True,
+                rngs={"dropout": drop_rng},
+            )
+            return dec, posterior, None
+        xrec, qloss, ind = self.model.apply(
+            {"params": g_params}, x, train=True, rngs={"dropout": drop_rng}
         )
+        return xrec, qloss, ind
 
     def _build_step(self):
         loss_mod = self.loss
@@ -160,7 +199,7 @@ class VAETrainer:
 
             # ---------- phase 1: autoencoder/generator
             def gen_loss(g_params):
-                xrec, qloss, _ = self._reconstruct(g_params, x, rng)
+                xrec, reg, _ = self._reconstruct(g_params, x, rng)
                 nll = loss_mod.reconstruction_loss(x, xrec)
                 logits_fake = self.disc.apply({"params": state.d_params}, xrec)
 
@@ -190,9 +229,14 @@ class VAETrainer:
                     pullback(d_g_d_xrec)[0],
                     loss_mod.discriminator_weight,
                 )
-                total, aux = loss_mod.generator_loss(
-                    qloss, nll, logits_fake, d_weight, state.step
-                )
+                if self.is_kl:
+                    total, aux = loss_mod.generator_loss_kl(
+                        reg, nll, logits_fake, d_weight, state.step
+                    )
+                else:
+                    total, aux = loss_mod.generator_loss(
+                        reg, nll, logits_fake, d_weight, state.step
+                    )
                 aux["xrec"] = xrec
                 return total, aux
 
@@ -233,7 +277,12 @@ class VAETrainer:
 
     def next_batch(self):
         batch = next(self.dl) * 2.0 - 1.0  # [-1,1] (train_VAE.py:33-37)
-        return jax.device_put(batch.astype(np.float32), self.batch_sharding)
+        batch = batch.astype(np.float32)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self.batch_sharding, batch
+            )
+        return jax.device_put(batch, self.batch_sharding)
 
     def train(self):
         step = int(self.state.step)
@@ -242,7 +291,8 @@ class VAETrainer:
             self.state, metrics = self._step_fn(self.state, batch, self._base_rng)
             step += 1
             if step % 10 == 0:
-                for k in ("aeloss", "discloss", "nll_loss", "quant_loss"):
+                for k in ("aeloss", "discloss", "nll_loss", "quant_loss",
+                          "kl_loss"):
                     if k in metrics:
                         self.writer.scalar(f"train/{k}", float(metrics[k]), step)
             if step % self.sample_every == 0:
@@ -257,9 +307,20 @@ class VAETrainer:
         """orig ‖ recon side-by-side (SampleCallback parity)."""
         x = np.stack([self.val_ds.get(i) for i in range(min(n, len(self.val_ds)))])
         x = x * 2.0 - 1.0
-        xrec, _, _ = self.model.apply(
-            {"params": self.state.g_params}, jnp.asarray(x)
-        )
+        if self.is_kl:
+            xrec, posterior = self.model.apply(
+                {"params": self.state.g_params}, jnp.asarray(x),
+                sample_posterior=False,
+            )
+            latents = posterior.mode()
+        else:
+            xrec, _, _ = self.model.apply(
+                {"params": self.state.g_params}, jnp.asarray(x)
+            )
+            latents, _, _ = self.model.apply(
+                {"params": self.state.g_params}, jnp.asarray(x),
+                method=self.model.encode,
+            )
         xrec = np.asarray(xrec)
         pair = np.concatenate([x, xrec], axis=2)  # side-by-side along width
         pair = (pair + 1.0) / 2.0
@@ -267,11 +328,7 @@ class VAETrainer:
             pair, self.results_folder / f"recon-{step}.png", nrow=1
         )
         # latents for inspection (reference saves latents .pt)
-        quant, _, _ = self.model.apply(
-            {"params": self.state.g_params}, jnp.asarray(x),
-            method=self.model.encode,
-        )
-        np.save(self.results_folder / f"latents-{step}.npy", np.asarray(quant))
+        np.save(self.results_folder / f"latents-{step}.npy", np.asarray(latents))
 
     def save(self, milestone):
         self.ckpt.save(

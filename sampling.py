@@ -71,8 +71,10 @@ def main():
     p.add_argument("--num_fid_samples", type=int, default=1000)
     p.add_argument("--num_samples", type=int, default=25)
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--calculate_fid", action="store_true", default=True)
-    p.add_argument("--calculate_is", action="store_true", default=False)
+    p.add_argument("--calculate_fid", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--calculate_is", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--images_save_folder", type=str, default=None)
     args = p.parse_args()
@@ -86,14 +88,22 @@ def main():
     params_template = diffusion.init(jax.random.PRNGKey(0))
     ckpt = CheckpointManager(results)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("n",))
-    def sample(params, rng, n):
+    # ONE compiled sampler program for the whole sweep: always run at
+    # batch_size and slice remainders on the host (a per-n static jit would
+    # recompile for the grid size and the last FID chunk — minutes each on TPU)
+    @jax.jit
+    def _sample_batch(params, rng):
         return diffusion.ddim_sample(
-            params, rng, diffusion.sample_shape(n),
+            params, rng, diffusion.sample_shape(args.batch_size),
             sampling_timesteps=args.ddim_sampling_timesteps,
         )
+
+    def sample_n(params, rng, total):
+        chunks = []
+        for n in num_to_groups(total, args.batch_size):
+            rng, key = jax.random.split(rng)
+            chunks.append(np.asarray(_sample_batch(params, key)[:n]))
+        return np.concatenate(chunks, axis=0), rng
 
     fid_scorer = is_scorer = None
     if args.calculate_fid and args.images_folder:
@@ -129,8 +139,7 @@ def main():
         ema_params = restored["ema_params"]
         rng = jax.random.PRNGKey(milestone)
 
-        rng, key = jax.random.split(rng)
-        grid = np.asarray(sample(ema_params, key, args.num_samples))
+        grid, rng = sample_n(ema_params, rng, args.num_samples)
         save_image_grid(
             grid, out_dir / f"sample-{milestone}.png",
             nrow=int(np.sqrt(args.num_samples)),
@@ -138,11 +147,7 @@ def main():
         writer.image("Samples", grid[0], milestone)
 
         if fid_scorer or is_scorer:
-            chunks = []
-            for n in num_to_groups(args.num_fid_samples, args.batch_size):
-                rng, key = jax.random.split(rng)
-                chunks.append(np.asarray(sample(ema_params, key, n)))
-            fakes = np.concatenate(chunks, axis=0)
+            fakes, rng = sample_n(ema_params, rng, args.num_fid_samples)
             if fid_scorer:
                 fid = fid_scorer.fid_score(fakes)
                 print(f"milestone {milestone}: FID {fid:.3f}")

@@ -261,3 +261,65 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_loss_matches_reference_reduction():
+    """Golden NumPy oracle for the Improved-DDPM hybrid loss, pinned to the
+    reference's reduction (`denoising_diffusion.py:864-892`): per-sample MSE
+    × loss_weight, plus the t>0-masked *scalar* mean KL weighted 0.001,
+    then a final batch mean."""
+    from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+    from diffusion_models_tpu.models.unet import Unet
+
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(
+        model, image_size=16, timesteps=50, beta_schedule="cosine",
+        hybrid_loss=True,
+    )
+    params = diff.init(jax.random.PRNGKey(0))
+    x_start = (
+        jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 2 - 1
+    )
+    t = jnp.array([0, 7, 23, 49], jnp.int32)
+    rng = jax.random.PRNGKey(2)
+
+    got = float(diff.p_losses(params, rng, x_start, t, train=False))
+
+    # ---- oracle: replicate p_losses' rng handling, then apply the
+    # reference's formula step by step in NumPy
+    keys = jax.random.split(rng, 5)
+    noise = jax.random.normal(keys[0], x_start.shape, jnp.float32)
+    x = np.asarray(diff.q_sample(x_start, t, noise))
+    model_out = diff._apply_model(
+        params, jnp.asarray(x), t, None, None, train=False, rng=keys[4]
+    )
+    mo = np.asarray(model_out, np.float32)
+
+    mse = ((mo - np.asarray(noise)) ** 2).reshape(4, -1).mean(axis=1)
+    lw = np.asarray(diff.schedule.loss_weight)[np.asarray(t)]
+    loss_vec = mse * lw
+
+    # KL(q(x_{t-1}|x_t,x0) || p_theta): model mean from clipped x0_hat
+    x_hat = np.asarray(
+        diff.predict_start_from_noise(jnp.asarray(x), t, model_out)
+    )
+    x_hat = np.clip(x_hat, -1.0, 1.0)
+    m_mean, _, m_logvar = (
+        np.asarray(v)
+        for v in diff.q_posterior(jnp.asarray(x_hat), jnp.asarray(x), t)
+    )
+    p_mean, p_var, p_logvar = (
+        np.asarray(v)
+        for v in diff.q_posterior(x_start.astype(jnp.float32), jnp.asarray(x), t)
+    )
+    kl = 0.5 * (
+        p_logvar - m_logvar
+        + (np.exp(m_logvar) + (m_mean - p_mean) ** 2) / p_var
+        - 1.0
+    )
+    kl = kl.reshape(4, -1).mean(axis=1)
+    mask = (np.asarray(t) > 0).astype(np.float32)
+    kl_scalar = (kl * mask).sum() / (mask.sum() + 1e-8)
+
+    expect = float((loss_vec + 0.001 * kl_scalar).mean())
+    np.testing.assert_allclose(got, expect, rtol=2e-5)

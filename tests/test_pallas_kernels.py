@@ -101,3 +101,43 @@ def test_fused_mse_per_sample():
         (np.asarray(a) - np.asarray(b)) ** 2, axis=(1, 2, 3)
     )
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_use_pallas_wired_paths_match_xla():
+    """The `use_pallas=True` production wiring (q_sample + per-sample MSE in
+    p_losses, fused DDIM update in ddim_sample) must match the XLA path
+    bit-for-bit-ish. Runs in interpret mode on the CPU mesh; validated on
+    real TPU hardware too (docs/ROUND2_NOTES.md)."""
+    from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+    from diffusion_models_tpu.models.unet import Unet
+
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    mk = lambda up: GaussianDiffusion(
+        model, image_size=16, timesteps=50, sampling_timesteps=3,
+        beta_schedule="cosine", use_pallas=up,
+    )
+    ref, pal = mk(False), mk(True)
+    params = ref.init(jax.random.PRNGKey(0))
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+
+    l0 = jax.jit(lambda p, r, b: ref.loss(p, r, b, train=False))(
+        params, jax.random.PRNGKey(2), batch
+    )
+    l1 = jax.jit(lambda p, r, b: pal.loss(p, r, b, train=False))(
+        params, jax.random.PRNGKey(2), batch
+    )
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+
+    # gradient parity through the custom-VJP MSE kernel
+    g0 = jax.grad(lambda p: ref.loss(p, jax.random.PRNGKey(2), batch, train=False))(params)
+    g1 = jax.grad(lambda p: pal.loss(p, jax.random.PRNGKey(2), batch, train=False))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    s0 = jax.jit(lambda p, r: ref.ddim_sample(p, r, (2, 16, 16, 3)))(
+        params, jax.random.PRNGKey(3)
+    )
+    s1 = jax.jit(lambda p, r: pal.ddim_sample(p, r, (2, 16, 16, 3)))(
+        params, jax.random.PRNGKey(3)
+    )
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)

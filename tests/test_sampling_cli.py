@@ -15,7 +15,7 @@ def test_build_diffusion_from_training_params(tmp_path):
 
     (tmp_path / "training_params.json").write_text(json.dumps({
         "unet_dim": 8, "unet_dim_mults": [1, 2], "channels": 3,
-        "image_size": [16, 16], "timesteps": 20, "objective": "pred_noise",
+        "image_size": [16, 16], "timesteps": 100, "objective": "pred_noise",
     }))
     args = SimpleNamespace(
         config=None, trained_models_folder=str(tmp_path),
@@ -23,7 +23,7 @@ def test_build_diffusion_from_training_params(tmp_path):
     )
     diff = sampling_cli.build_diffusion(args)
     assert diff.image_size == (16, 16)
-    assert diff.num_timesteps == 20
+    assert diff.num_timesteps == 100
     assert diff.sampling_timesteps == 4
     assert diff.model.dim == 8
 
@@ -34,7 +34,7 @@ def test_build_diffusion_from_config(tmp_path):
 
     cfg = {
         "unet": {"dim": 8, "dim_mults": [1, 2]},
-        "diffusion": {"image_size": 16, "timesteps": 20},
+        "diffusion": {"image_size": 16, "timesteps": 100},
     }
     cfg_path = tmp_path / "c.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
@@ -44,4 +44,4 @@ def test_build_diffusion_from_config(tmp_path):
     )
     diff = sampling_cli.build_diffusion(args)
     assert diff.model.dim == 8
-    assert diff.num_timesteps == 20
+    assert diff.num_timesteps == 100

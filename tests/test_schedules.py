@@ -87,8 +87,18 @@ def test_buffer_identities(name):
 
 
 def test_loss_weight_ddpm_flag():
-    sched = make_schedule(10, ddpm=True)
+    sched = make_schedule(10, ddpm=True, beta_schedule="cosine")
     np.testing.assert_array_equal(np.asarray(sched.loss_weight), np.ones(10))
+
+
+def test_degenerate_linear_schedule_fails_loudly():
+    """Small-T linear schedules yield betas >= 1 (beta_end = (1000/T)*0.02),
+    which would silently fill the posterior tables with NaN — make_schedule
+    must reject them instead."""
+    with pytest.raises(ValueError, match="outside"):
+        make_schedule(10, beta_schedule="linear")
+    # T large enough is fine
+    make_schedule(100, beta_schedule="linear")
 
 
 @pytest.mark.parametrize(

@@ -204,3 +204,48 @@ def test_vqmodel_prequant_interface():
     # matches the full quantized pipeline
     dec_full, _, _ = model.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_full), atol=1e-5)
+
+
+def test_kl_vae_trainer_two_steps(tmp_path):
+    """AutoencoderKL adversarial training path (reference
+    `ldm/models/autoencoder.py:405-424`): two jitted steps, kl_loss logged,
+    recon/latents dumps, checkpoint roundtrip."""
+    from PIL import Image as PILImage
+
+    from diffusion_models_tpu.training.vae_trainer import VAETrainer
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(16):
+        PILImage.fromarray(
+            rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        ).save(folder / f"{i}.png")
+
+    dd = dict(DDCONFIG, double_z=True)
+    model = AutoencoderKL(ddconfig=dd, embed_dim=3)
+    trainer = VAETrainer(
+        model, str(folder), batch_size=8, learning_rate=1e-4,
+        train_num_steps=2, sample_every=2, save_every=2,
+        results_folder=str(tmp_path / "r"), num_workers=1,
+    )
+    assert trainer.is_kl
+    batch = trainer.next_batch()
+    state, metrics = trainer._step_fn(trainer.state, batch, trainer._base_rng)
+    assert "kl_loss" in metrics and np.isfinite(float(metrics["kl_loss"]))
+    assert np.isfinite(float(metrics["aeloss"]))
+    assert np.isfinite(float(metrics["discloss"]))
+    trainer.state = state
+
+    trainer.train()  # runs the remaining step + milestone dumps
+    assert int(trainer.state.step) == 2
+    assert (tmp_path / "r" / "recon-2.png").exists()
+    lat = np.load(tmp_path / "r" / "latents-2.npy")
+    assert lat.shape[-1] == 3  # embed_dim channels (posterior mode)
+
+    trainer2 = VAETrainer(
+        model, str(folder), batch_size=8, train_num_steps=2,
+        results_folder=str(tmp_path / "r"), num_workers=1,
+    )
+    trainer2.load(1)
+    assert int(trainer2.state.step) == 2

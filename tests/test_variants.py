@@ -194,7 +194,7 @@ def test_cfg_unet_and_diffusion():
     model = CFGUnet(dim=8, dim_mults=(1, 2), channels=3, num_classes=5)
     diff = CFGGaussianDiffusion(
         model, image_size=16, timesteps=10, sampling_timesteps=3,
-        cond_scale=3.0,
+        cond_scale=3.0, beta_schedule="cosine",
     )
     params = diff.init(jax.random.PRNGKey(0))
     classes = jnp.array([0, 3], jnp.int32)
@@ -212,7 +212,7 @@ def test_cfg_plus_plus():
     model = CFGUnet(dim=8, dim_mults=(1, 2), channels=3, num_classes=5)
     diff = CFGGaussianDiffusion(
         model, image_size=16, timesteps=10, sampling_timesteps=3,
-        use_cfg_plus_plus=True,
+        use_cfg_plus_plus=True, beta_schedule="cosine",
     )
     params = diff.init(jax.random.PRNGKey(0))
     out = diff.sample(params, jax.random.PRNGKey(1), classes=jnp.array([1, 2]))

@@ -15,8 +15,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-from diffusion_models_tpu.models.vae import VQModel
-from diffusion_models_tpu.training.vae_losses import VQLPIPSWithDiscriminator
+from diffusion_models_tpu.models.vae import AutoencoderKL, VQModel
+from diffusion_models_tpu.training.vae_losses import (
+    LPIPSWithDiscriminator,
+    VQLPIPSWithDiscriminator,
+)
 from diffusion_models_tpu.training.vae_trainer import VAETrainer
 from diffusion_models_tpu.utils.config import load_config
 
@@ -24,11 +27,20 @@ from diffusion_models_tpu.utils.config import load_config
 def build(cfg):
     dd = dict(cfg["ddconfig"])
     dd["ch_mult"] = tuple(dd["ch_mult"])
-    model = VQModel(
-        ddconfig=dd,
-        n_embed=cfg["n_embed"],
-        embed_dim=cfg["embed_dim"],
-    )
+    # `model_type: kl` selects the KL-regularized AutoencoderKL first stage
+    # (reference target `ldm.models.autoencoder.AutoencoderKL`,
+    # `autoencoder.py:339-478`); default is the VQ-GAN.
+    model_type = cfg.get("model_type", "vq")
+    if model_type == "kl":
+        model = AutoencoderKL(ddconfig=dd, embed_dim=cfg["embed_dim"])
+    elif model_type == "vq":
+        model = VQModel(
+            ddconfig=dd,
+            n_embed=cfg["n_embed"],
+            embed_dim=cfg["embed_dim"],
+        )
+    else:
+        raise ValueError(f"unknown model_type {model_type!r} (vq|kl)")
 
     loss_params = dict(cfg.get("lossconfig", {}).get("params", {}))
     lpips = None
@@ -37,7 +49,11 @@ def build(cfg):
         from diffusion_models_tpu.models.lpips import LPIPS
 
         lpips = LPIPS.load_torch_state_dict(lpips_weights)
-    loss = VQLPIPSWithDiscriminator(lpips=lpips, **loss_params)
+    if model_type == "kl":
+        loss_params.pop("codebook_weight", None)
+        loss = LPIPSWithDiscriminator(lpips=lpips, **loss_params)
+    else:
+        loss = VQLPIPSWithDiscriminator(lpips=lpips, **loss_params)
 
     trainer = VAETrainer(
         model,
