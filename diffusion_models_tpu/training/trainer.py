@@ -95,6 +95,7 @@ class Trainer:
         detect_anomalies: bool = False,
         checkpoint_on_preemption: bool = True,
         post_update_fn=None,
+        steps_per_call: int = 1,
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -115,6 +116,17 @@ class Trainer:
         # right after the optimizer update (e.g. Karras MP forced weight
         # renormalization, `models/karras_unet.normalize_karras_weights`)
         self.post_update_fn = post_update_fn
+        # optimizer steps fused into ONE jitted call via lax.scan — amortizes
+        # per-dispatch host↔device latency (dominant on tunneled/remote TPUs)
+        # over K steps; semantics are identical to K separate calls.
+        assert steps_per_call >= 1
+        if steps_per_call > 1:
+            assert save_and_sample_every % steps_per_call == 0, (
+                "steps_per_call must divide save_and_sample_every so "
+                "milestones land on call boundaries"
+            )
+            assert train_num_steps % steps_per_call == 0
+        self.steps_per_call = steps_per_call
         self.seed = seed
         self.num_fid_samples = num_fid_samples
         self.save_best_and_latest_only = save_best_and_latest_only
@@ -130,6 +142,8 @@ class Trainer:
         # --- mesh & shardings (data parallel over all devices)
         self.mesh = make_mesh() if mesh is None else mesh
         self.batch_sharding = NamedSharding(self.mesh, P(None, "data"))
+        # (steps_per_call, accum, B, ...) layout for fused multi-step calls
+        self.multi_batch_sharding = NamedSharding(self.mesh, P(None, None, "data"))
         self.replicated = NamedSharding(self.mesh, P())
 
         # --- data
@@ -156,6 +170,9 @@ class Trainer:
                 seed=seed,
                 num_shards=jax.process_count(),
                 shard_id=jax.process_index(),
+                # deep enough for one full fused call to be pre-staged while
+                # the previous call runs on device
+                prefetch=max(4, 2 * steps_per_call * gradient_accumulate_every),
             )
         )
 
@@ -262,7 +279,18 @@ class Trainer:
             )
             return new_state, loss
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        if self.steps_per_call == 1:
+            return jax.jit(step_fn, donate_argnums=(0,))
+
+        def multi_step_fn(state, batches, base_rng):
+            # batches: (K, accum?, B, ...) — K optimizer steps in one program
+            def body(st, b):
+                return step_fn(st, b, base_rng)
+
+            state, losses = jax.lax.scan(body, state, batches)
+            return state, losses[-1]
+
+        return jax.jit(multi_step_fn, donate_argnums=(0,))
 
     def _put_batch(self, batches):
         """Stack `accum` host batches → (accum, B, ...) on the data mesh.
@@ -285,9 +313,23 @@ class Trainer:
         return jax.device_put(stacked, self.batch_sharding)
 
     def next_batch(self):
-        return self._put_batch(
-            [next(self.dl) for _ in range(self.gradient_accumulate_every)]
-        )
+        accum = self.gradient_accumulate_every
+        if self.steps_per_call == 1:
+            return self._put_batch([next(self.dl) for _ in range(accum)])
+        # (K, accum?, B, ...): one leading scan axis per fused optimizer step
+        calls = []
+        for _ in range(self.steps_per_call):
+            group = [next(self.dl) for _ in range(accum)]
+            calls.append(jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group))
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *calls)
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.multi_batch_sharding, x
+                ),
+                stacked,
+            )
+        return jax.device_put(stacked, self.multi_batch_sharding)
 
     # ------------------------------------------------------------- sampling
 
@@ -412,26 +454,32 @@ class Trainer:
         step = int(self.state.step)
         t0 = time.time()
         loss = None  # stays None if the run is already complete on entry
+        pending = None  # (step, device loss) — materialized one step later so
+        # the host never blocks on the step it just dispatched (async dispatch
+        # keeps the TPU busy while the next batch is assembled)
+        k = self.steps_per_call
         while step < self.train_num_steps:
             batch = self.next_batch()
             self.state, loss = self._train_step(self.state, batch, self._base_rng)
-            step += 1
+            step += k
 
             if self._preempted:
                 print(f"preemption signal received — checkpointing at step {step}")
                 self.save("preempt")
                 return
 
-            if step % log_every == 0:
-                loss_val = float(loss)
+            if pending is not None:
+                prev_step, prev_loss = pending
+                loss_val = float(prev_loss)
                 if self.detect_anomalies and not np.isfinite(loss_val):
                     self.save("anomaly")
                     raise FloatingPointError(
-                        f"non-finite loss {loss_val} at step {step}; "
+                        f"non-finite loss {loss_val} at step {prev_step}; "
                         f"state checkpointed to model-anomaly"
                     )
-                self.writer.scalar("Train/Loss", loss_val, step)
-            if step % 100 == 0:
+                self.writer.scalar("Train/Loss", loss_val, prev_step)
+            pending = (step, loss) if step % log_every < k else None
+            if step % 100 < k:
                 rate = 100 / max(time.time() - t0, 1e-9)
                 self.writer.scalar("Train/steps_per_sec", rate, step)
                 t0 = time.time()

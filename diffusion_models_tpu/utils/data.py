@@ -95,8 +95,18 @@ def _load_transformed(
     return arr
 
 
+_CACHE_LIMIT_BYTES = 4 << 30  # auto-cache datasets up to 4 GiB decoded
+
+
 class ImageFolderDataset:
-    """Recursive folder of images → float32 [0,1] HWC items."""
+    """Recursive folder of images → float32 [0,1] HWC items.
+
+    For small datasets (≤4 GiB decoded, e.g. the 32×32 flagship set) the
+    whole dataset is decoded ONCE into a uint8 RAM cache and batches are
+    assembled with a vectorized gather + flip — per-image PIL decode in the
+    hot loop caps the TPU train step at the PNG-decode rate otherwise (the
+    tf.data `cache()` equivalent). Set `cache_in_memory=False` to disable.
+    """
 
     def __init__(
         self,
@@ -105,6 +115,7 @@ class ImageFolderDataset:
         exts: Sequence[str] = IMG_EXTS,
         augment_horizontal_flip: bool = False,
         convert_image_to: Optional[str] = None,
+        cache_in_memory: bool | str = "auto",
     ):
         self.folder = Path(folder)
         self.image_size = image_size
@@ -115,10 +126,63 @@ class ImageFolderDataset:
         self.augment_horizontal_flip = augment_horizontal_flip
         self.convert_image_to = convert_image_to
 
+        self._cache: Optional[np.ndarray] = None
+        self._cache_lock = threading.Lock()
+        if cache_in_memory == "auto":
+            size_ok = (
+                isinstance(image_size, int)
+                and len(self.paths) * image_size * image_size * 4
+                <= _CACHE_LIMIT_BYTES
+            )
+            self._want_cache = size_ok
+        else:
+            self._want_cache = bool(cache_in_memory)
+
     def __len__(self):
         return len(self.paths)
 
+    def _decode_uint8(self, path) -> np.ndarray:
+        """Decode + resize/crop to uint8 HWC (PIL semantics — identical to
+        the float path, which also resizes in PIL before /255)."""
+        img = Image.open(path)
+        if exists(self.convert_image_to) and img.mode != self.convert_image_to:
+            img = img.convert(self.convert_image_to)
+        elif img.mode not in ("RGB", "L"):
+            img = img.convert("RGB")
+        img = resize_and_center_crop(img, self.image_size)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr
+
+    def _ensure_cache(self) -> bool:
+        if not self._want_cache:
+            return False
+        if self._cache is not None:
+            return True
+        with self._cache_lock:
+            if self._cache is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    imgs = list(pool.map(self._decode_uint8, self.paths))
+                if len({im.shape for im in imgs}) != 1:
+                    # ragged channel counts — fall back to per-item decode
+                    self._want_cache = False
+                    return False
+                self._cache = np.stack(imgs)
+        return True
+
     def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        if self._ensure_cache():
+            arr = self._cache[index].astype(np.float32) / 255.0
+            if (
+                self.augment_horizontal_flip
+                and rng is not None
+                and rng.random() < 0.5
+            ):
+                arr = arr[:, ::-1]
+            return arr
         return _load_transformed(
             self.paths[index],
             self.image_size,
@@ -126,6 +190,20 @@ class ImageFolderDataset:
             self.augment_horizontal_flip,
             self.convert_image_to,
         )
+
+    def get_batch(self, idxs, rngs) -> np.ndarray:
+        """Vectorized batch assembly from the RAM cache (gather + flip +
+        normalize); falls back to stacked per-item decode without it."""
+        if not self._ensure_cache():
+            return np.stack([self.get(int(i), r) for i, r in zip(idxs, rngs)])
+        batch = self._cache[np.asarray(idxs, np.int64)].astype(np.float32)
+        batch /= 255.0
+        if self.augment_horizontal_flip:
+            flips = np.fromiter(
+                (r.random() < 0.5 for r in rngs), dtype=bool, count=len(rngs)
+            )
+            batch[flips] = batch[flips, :, ::-1]
+        return batch
 
 
 class ImageConditionalDataset:
@@ -303,6 +381,8 @@ class DataLoader:
             rngs = [
                 np.random.default_rng((epoch_seed, int(i))) for i in idxs
             ]
+            if hasattr(self.dataset, "get_batch"):
+                return self.dataset.get_batch(idxs, rngs)
             items = list(
                 pool.map(lambda a: self.dataset.get(int(a[0]), a[1]), zip(idxs, rngs))
             )

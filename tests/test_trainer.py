@@ -153,3 +153,34 @@ def test_milestone_eval_with_fid(img_folder, tmp_path):
         for l in (results / "tensorboard_logs" / "metrics.jsonl").read_text().splitlines()
     ]
     assert any(l["tag"] == "Eval/FID" for l in lines)
+
+
+def test_steps_per_call_fused_matches_single(img_folder, tmp_path):
+    """K optimizer steps fused into one jitted lax.scan call must land on the
+    same step count and (to f32 reassociation noise) the same params as K
+    separate calls."""
+    t1 = make_trainer(
+        img_folder, tmp_path / "a", train_num_steps=4, save_and_sample_every=8
+    )
+    t1.train()
+    t2 = make_trainer(
+        img_folder, tmp_path / "b", train_num_steps=4, save_and_sample_every=8,
+        steps_per_call=2,
+    )
+    t2.train()
+    assert int(t1.state.step) == int(t2.state.step) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_steps_per_call_must_divide_milestones(img_folder, tmp_path):
+    with pytest.raises(AssertionError):
+        make_trainer(
+            img_folder, tmp_path, train_num_steps=9, save_and_sample_every=9,
+            steps_per_call=2,
+        )

@@ -60,6 +60,7 @@ def build(cfg):
         num_samples=t.get("num_samples", 25),
         results_folder=t["results_folder"],
         save_best_and_latest_only=t.get("save_best_and_latest_only", False),
+        steps_per_call=t.get("steps_per_call", 1),
     )
     return unet, diffusion, trainer
 
