@@ -441,3 +441,452 @@ def test_lpips_converted_forward_matches_torch_oracle(tmp_path):
             d = (na - nb).pow(2)
             total = total + (d * lin.view(1, -1, 1, 1)).sum(dim=1).mean(dim=(1, 2))
     np.testing.assert_allclose(ours, total.numpy(), rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# torch oracle: FID InceptionV3 (pytorch-fid published architecture)
+# --------------------------------------------------------------------------
+
+
+class TBasicConv(nn.Module):
+    def __init__(self, cin, cout, ks, stride=1, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, ks, stride, padding, bias=False)
+        self.bn = nn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _fid_avg_pool(x):
+    # pytorch-fid FIDInception{A,C,E_1}: count_include_pad=False
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+class TInceptionA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 64, 1)
+        self.branch5x5_1 = TBasicConv(cin, 48, 1)
+        self.branch5x5_2 = TBasicConv(48, 64, 5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, 3, padding=1)
+        self.branch_pool = TBasicConv(cin, pool_features, 1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(_fid_avg_pool(x)),
+        ], 1)
+
+
+class TInceptionB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBasicConv(cin, 384, 3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, 3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, stride=2),
+        ], 1)
+
+
+class TInceptionC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 192, 1)
+        self.branch7x7_1 = TBasicConv(cin, c7, 1)
+        self.branch7x7_2 = TBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv(c7, 192, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv(cin, c7, 1)
+        self.branch7x7dbl_2 = TBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv(c7, 192, (1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv(cin, 192, 1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        return torch.cat([
+            self.branch1x1(x), b7, bd, self.branch_pool(_fid_avg_pool(x)),
+        ], 1)
+
+
+class TInceptionD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv(cin, 192, 1)
+        self.branch3x3_2 = TBasicConv(192, 320, 3, stride=2)
+        self.branch7x7x3_1 = TBasicConv(cin, 192, 1)
+        self.branch7x7x3_2 = TBasicConv(192, 192, (1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv(192, 192, (7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv(192, 192, 3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(
+                self.branch7x7x3_2(self.branch7x7x3_1(x)))),
+            F.max_pool2d(x, 3, stride=2),
+        ], 1)
+
+
+class TInceptionE(nn.Module):
+    def __init__(self, cin, pool_mode):
+        super().__init__()
+        self.pool_mode = pool_mode
+        self.branch1x1 = TBasicConv(cin, 320, 1)
+        self.branch3x3_1 = TBasicConv(cin, 384, 1)
+        self.branch3x3_2a = TBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv(cin, 448, 1)
+        self.branch3x3dbl_2 = TBasicConv(448, 384, 3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv(cin, 192, 1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool_mode == "max":  # pytorch-fid FIDInceptionE_2 (Mixed_7c)
+            bp = F.max_pool2d(x, 3, stride=1, padding=1)
+        else:
+            bp = _fid_avg_pool(x)
+        return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class TInceptionV3(nn.Module):
+    """pytorch-fid InceptionV3 oracle (1008-class fc, FID pool variants)."""
+
+    def __init__(self, num_classes=1008):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv(3, 32, 3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv(32, 32, 3)
+        self.Conv2d_2b_3x3 = TBasicConv(32, 64, 3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv(64, 80, 1)
+        self.Conv2d_4a_3x3 = TBasicConv(80, 192, 3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280, pool_mode="avg")
+        self.Mixed_7c = TInceptionE(2048, pool_mode="max")
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x01):
+        x = x01 * 2 - 1  # pytorch-fid normalize_input
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        for blk in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d, self.Mixed_6a,
+                    self.Mixed_6b, self.Mixed_6c, self.Mixed_6d, self.Mixed_6e,
+                    self.Mixed_7a, self.Mixed_7b, self.Mixed_7c):
+            x = blk(x)
+        pool = F.adaptive_avg_pool2d(x, 1).flatten(1)
+        return pool, self.fc(pool)
+
+
+def test_inception_converted_forward_matches_torch_oracle():
+    from diffusion_models_tpu.models.inception import InceptionV3
+
+    g = torch.Generator().manual_seed(21)
+    oracle = TInceptionV3()
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, nn.Conv2d):
+                m.weight.copy_(
+                    torch.randn(m.weight.shape, generator=g)
+                    * (0.5 / m.weight[0].numel() ** 0.5)
+                )
+            elif isinstance(m, nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1
+                )
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5
+                )
+            elif isinstance(m, nn.Linear):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g) * 0.01)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.01)
+    oracle.eval()
+
+    rs = np.random.RandomState(22)
+    x = rs.rand(2, 299, 299, 3).astype(np.float32)
+    with torch.no_grad():
+        tpool, tlogits = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    net = InceptionV3(fid_variant=True)
+    params = net.load_torch_state_dict(
+        {k: v for k, v in oracle.state_dict().items()}
+    )
+    pool, logits = net.apply(params, jnp.asarray(x), resize=False)
+
+    np.testing.assert_allclose(
+        np.asarray(pool), tpool.numpy(), rtol=1e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), tlogits.numpy(), rtol=1e-3, atol=2e-4
+    )
+
+
+# --------------------------------------------------------------------------
+# torch oracle: CompVis VQ-VAE (latent-diffusion published architecture)
+# --------------------------------------------------------------------------
+
+
+class TVAEResnetBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(32, cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(32, cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.nin_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "nin_shortcut"):
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class TVAEAttnBlock(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = nn.GroupNorm(32, c, eps=1e-6)
+        self.q = nn.Conv2d(c, c, 1)
+        self.k = nn.Conv2d(c, c, 1)
+        self.v = nn.Conv2d(c, c, 1)
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        h = self.norm(x)
+        b, c, hh, ww = h.shape
+        q = self.q(h).reshape(b, c, hh * ww).permute(0, 2, 1)
+        k = self.k(h).reshape(b, c, hh * ww)
+        v = self.v(h).reshape(b, c, hh * ww)
+        w = torch.bmm(q, k) * (c ** -0.5)
+        w = torch.softmax(w, dim=2)
+        out = torch.bmm(v, w.permute(0, 2, 1)).reshape(b, c, hh, ww)
+        return x + self.proj_out(out)
+
+
+class TVAEDownsample(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))  # asym right/bottom pad
+
+
+class TVAEUpsample(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+class _Level(nn.Module):
+    pass
+
+
+_DD = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+           attn_resolutions=[8], in_channels=3, resolution=16,
+           z_channels=4, double_z=False)
+
+
+class TVAEEncoder(nn.Module):
+    def __init__(self, cfg=_DD):
+        super().__init__()
+        ch, mults = cfg["ch"], cfg["ch_mult"]
+        self.conv_in = nn.Conv2d(cfg["in_channels"], ch, 3, padding=1)
+        self.down = nn.ModuleList()
+        curr_res, cin = cfg["resolution"], ch
+        for i, m in enumerate(mults):
+            lvl = _Level()
+            lvl.block, lvl.attn = nn.ModuleList(), nn.ModuleList()
+            cout = ch * m
+            for _ in range(cfg["num_res_blocks"]):
+                lvl.block.append(TVAEResnetBlock(cin, cout))
+                cin = cout
+                if curr_res in cfg["attn_resolutions"]:
+                    lvl.attn.append(TVAEAttnBlock(cin))
+            if i != len(mults) - 1:
+                lvl.downsample = TVAEDownsample(cin)
+                curr_res //= 2
+            self.down.append(lvl)
+        self.mid = _Level()
+        self.mid.block_1 = TVAEResnetBlock(cin, cin)
+        self.mid.attn_1 = TVAEAttnBlock(cin)
+        self.mid.block_2 = TVAEResnetBlock(cin, cin)
+        self.norm_out = nn.GroupNorm(32, cin, eps=1e-6)
+        zc = cfg["z_channels"] * (2 if cfg["double_z"] else 1)
+        self.conv_out = nn.Conv2d(cin, zc, 3, padding=1)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        for lvl in self.down:
+            for j, blk in enumerate(lvl.block):
+                h = blk(h)
+                if len(lvl.attn) > j:
+                    h = lvl.attn[j](h)
+            if hasattr(lvl, "downsample"):
+                h = lvl.downsample(h)
+        h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+        return self.conv_out(F.silu(self.norm_out(h)))
+
+
+class TVAEDecoder(nn.Module):
+    def __init__(self, cfg=_DD):
+        super().__init__()
+        ch, mults = cfg["ch"], cfg["ch_mult"]
+        n_lv = len(mults)
+        cin = ch * mults[-1]
+        curr_res = cfg["resolution"] // 2 ** (n_lv - 1)
+        self.conv_in = nn.Conv2d(cfg["z_channels"], cin, 3, padding=1)
+        self.mid = _Level()
+        self.mid.block_1 = TVAEResnetBlock(cin, cin)
+        self.mid.attn_1 = TVAEAttnBlock(cin)
+        self.mid.block_2 = TVAEResnetBlock(cin, cin)
+        self.up = nn.ModuleList([_Level() for _ in range(n_lv)])
+        for i in reversed(range(n_lv)):
+            lvl = self.up[i]
+            lvl.block, lvl.attn = nn.ModuleList(), nn.ModuleList()
+            cout = ch * mults[i]
+            for _ in range(cfg["num_res_blocks"] + 1):
+                lvl.block.append(TVAEResnetBlock(cin, cout))
+                cin = cout
+                if curr_res in cfg["attn_resolutions"]:
+                    lvl.attn.append(TVAEAttnBlock(cin))
+            if i != 0:
+                lvl.upsample = TVAEUpsample(cin)
+                curr_res *= 2
+        self.norm_out = nn.GroupNorm(32, cin, eps=1e-6)
+        self.conv_out = nn.Conv2d(cin, cfg["out_ch"], 3, padding=1)
+
+    def forward(self, z):
+        h = self.conv_in(z)
+        h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+        for i in reversed(range(len(self.up))):
+            lvl = self.up[i]
+            for j, blk in enumerate(lvl.block):
+                h = blk(h)
+                if len(lvl.attn) > j:
+                    h = lvl.attn[j](h)
+            if hasattr(lvl, "upsample"):
+                h = lvl.upsample(h)
+        return self.conv_out(F.silu(self.norm_out(h)))
+
+
+class TVQModel(nn.Module):
+    def __init__(self, n_embed=16, embed_dim=4, cfg=_DD):
+        super().__init__()
+        self.encoder = TVAEEncoder(cfg)
+        self.decoder = TVAEDecoder(cfg)
+        self.quantize = _Level()
+        self.quantize.embedding = nn.Embedding(n_embed, embed_dim)
+        self.quant_conv = nn.Conv2d(cfg["z_channels"], embed_dim, 1)
+        self.post_quant_conv = nn.Conv2d(embed_dim, cfg["z_channels"], 1)
+
+    def forward(self, x):
+        h = self.quant_conv(self.encoder(x))
+        z = h.permute(0, 2, 3, 1).contiguous()
+        flat = z.reshape(-1, z.shape[-1])
+        e = self.quantize.embedding.weight
+        d = (flat.pow(2).sum(1, keepdim=True) - 2 * flat @ e.t()
+             + e.pow(2).sum(1)[None])
+        idx = d.argmin(1)
+        zq = e[idx].view(z.shape).permute(0, 3, 1, 2).contiguous()
+        return self.decoder(self.post_quant_conv(zq)), idx
+
+
+@pytest.fixture(scope="module")
+def vq_pair():
+    from diffusion_models_tpu.models.vae import VQModel
+
+    g = torch.Generator().manual_seed(31)
+    tm = TVQModel()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.08)
+    tm.eval()
+    fm = VQModel(ddconfig=dict(_DD), n_embed=16, embed_dim=4)
+    return tm, fm
+
+
+def test_vae_torch_to_flax_converted_forward(vq_pair, tmp_path):
+    from diffusion_models_tpu.utils.torch_compat import (
+        load_reference_vae_checkpoint,
+    )
+
+    tm, fm = vq_pair
+    path = tmp_path / "vae.ckpt"
+    torch.save({"state_dict": tm.state_dict()}, path)
+    params = load_reference_vae_checkpoint(path, fm)
+
+    rs = np.random.RandomState(33)
+    x = rs.rand(2, 16, 16, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        tdec, tidx = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    dec, _, idx = fm.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(idx).reshape(-1), tidx.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec).transpose(0, 3, 1, 2), tdec.numpy(),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_vae_flax_to_torch_exported_forward(vq_pair):
+    from diffusion_models_tpu.utils.torch_compat import (
+        vae_params_to_reference_state_dict,
+    )
+
+    tm, fm = vq_pair
+    rs = np.random.RandomState(34)
+    x = rs.rand(2, 16, 16, 3).astype(np.float32) * 2 - 1
+    params = fm.init({"params": jax.random.PRNGKey(35)}, jnp.asarray(x))["params"]
+    dec, _, idx = fm.apply({"params": params}, jnp.asarray(x))
+
+    sd = vae_params_to_reference_state_dict(params)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    with torch.no_grad():
+        tdec, tidx = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1), tidx.numpy())
+    np.testing.assert_allclose(
+        np.asarray(dec).transpose(0, 3, 1, 2), tdec.numpy(),
+        rtol=1e-4, atol=1e-4,
+    )
