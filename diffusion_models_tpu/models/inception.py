@@ -245,13 +245,21 @@ class InceptionV3:
     # ------------------------------------------------------------- params
 
     def init_random(self, rng) -> dict:
-        """Random weights (for tests / smoke runs — NOT real FID scores)."""
+        """Random weights (for tests / smoke runs — NOT real FID scores).
+
+        He-scaled (gain √2 for the ReLU cascade): with 1/√fan scaling the
+        ~20-deep conv stack attenuates activations to ~1e-4 and every image
+        maps to nearly the same feature (FID collapses to float noise).
+        He-scaled random features keep O(1) variance and act as a usable
+        random-projection metric: the FID *trend* across milestones is
+        meaningful even though absolute values are not comparable to real
+        Inception FID."""
         params = {}
         keys = jax.random.split(rng, len(_conv_table()) + 1)
         for key, (name, (cin, cout, k)) in zip(keys, _conv_table().items()):
             params[name] = {
                 "w": jax.random.normal(key, k + (cin, cout), jnp.float32)
-                * (1.0 / np.sqrt(cin * k[0] * k[1])),
+                * np.sqrt(2.0 / (cin * k[0] * k[1])),
                 "scale": jnp.ones((cout,), jnp.float32),
                 "bias": jnp.zeros((cout,), jnp.float32),
                 "mean": jnp.zeros((cout,), jnp.float32),
