@@ -313,6 +313,14 @@ class GaussianDiffusion:
         model_output = self._apply_model(
             params, x, t, x_self_cond, cond, train=train, rng=rng
         )
+        return self._predictions_from_output(
+            model_output, x, t, clip_x_start, rederive_pred_noise
+        )
+
+    def _predictions_from_output(
+        self, model_output, x, t, clip_x_start: bool, rederive_pred_noise: bool
+    ) -> ModelPrediction:
+        """(model output, x_t, t) → (pred_noise, x_start) per objective."""
         maybe_clip = (
             (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
         )
@@ -398,8 +406,21 @@ class GaussianDiffusion:
         eta: Optional[float] = None,
         cond=None,
         return_all_timesteps: bool = False,
+        encoder_cache_interval: int = 1,
     ):
-        """DDIM sampling — one `lax.scan` over the S step pairs."""
+        """DDIM sampling — one `lax.scan` over the S step pairs.
+
+        `encoder_cache_interval=k > 1` enables encoder propagation (Faster
+        Diffusion, arXiv:2312.09608): the U-Net down-path runs only at every
+        k-th ("key") step; non-key steps reuse the cached skip activations
+        and recompute just init-conv + bottleneck + decoder. Approximate
+        (measure the FID delta before adopting), off by default.
+        """
+        if encoder_cache_interval > 1:
+            return self._ddim_sample_enc_cached(
+                params, rng, shape, sampling_timesteps, eta, cond,
+                return_all_timesteps, encoder_cache_interval,
+            )
         sampling_timesteps = default(sampling_timesteps, self.sampling_timesteps)
         eta = default(eta, self.ddim_sampling_eta)
         batch = shape[0]
@@ -473,6 +494,90 @@ class GaussianDiffusion:
             step, (img0, jnp.zeros_like(img0), rng), pairs
         )
 
+        if return_all_timesteps:
+            ret = jnp.concatenate([img0[:, None], jnp.moveaxis(imgs, 0, 1)], axis=1)
+        else:
+            ret = img
+        return self.unnormalize(ret)
+
+    def _ddim_sample_enc_cached(
+        self, params, rng, shape, sampling_timesteps, eta, cond,
+        return_all_timesteps, interval,
+    ):
+        """Encoder-propagation DDIM (arXiv:2312.09608): `lax.cond` picks the
+        full forward (key steps, refreshes the encoder cache) or the
+        decoder-only forward (non-key steps, reuses it)."""
+        assert not self.self_condition, (
+            "encoder caching assumes the denoiser input distribution shifts "
+            "slowly; self-conditioning changes the encoder input every step"
+        )
+        assert type(self)._apply_model is GaussianDiffusion._apply_model, (
+            "encoder caching calls the denoiser directly; variants with a "
+            "custom _apply_model (e.g. CFG's guided 2B forward) are not "
+            "supported"
+        )
+        sampling_timesteps = default(sampling_timesteps, self.sampling_timesteps)
+        eta = default(eta, self.ddim_sampling_eta)
+        batch = shape[0]
+        s = self.schedule
+
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, jnp.float32)
+        pairs = self._ddim_time_pairs(sampling_timesteps)
+
+        def full_fwd(p, x, t_b):
+            out, cache = self.model.apply(
+                {"params": p}, x, t_b, None, *(() if cond is None else (cond,)),
+                return_enc_cache=True,
+            )
+            return out.astype(jnp.float32), cache
+
+        def cached_fwd(p, x, t_b, cache):
+            out = self.model.apply(
+                {"params": p}, x, t_b, None, *(() if cond is None else (cond,)),
+                enc_cache=cache,
+            )
+            return out.astype(jnp.float32)
+
+        t0_b = jnp.full((batch,), self.num_timesteps - 1, jnp.int32)
+        cache0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype),
+            jax.eval_shape(full_fwd, params, img0, t0_b)[1],
+        )
+
+        def step(carry, xs):
+            img, key, cache = carry
+            pair, idx = xs
+            time, time_next = pair[0], pair[1]
+            key, noise_key = jax.random.split(key)
+            t_b = jnp.full((batch,), time, jnp.int32)
+
+            model_out, cache = jax.lax.cond(
+                idx % interval == 0,
+                lambda op: full_fwd(params, op[0], op[1]),
+                lambda op: (cached_fwd(params, op[0], op[1], op[2]), op[2]),
+                (img, t_b, cache),
+            )
+            pred_noise, x_start = self._predictions_from_output(
+                model_out, img, t_b, clip_x_start=True, rederive_pred_noise=True
+            )
+
+            alpha = s.alphas_cumprod[time]
+            alpha_next = jnp.where(
+                time_next < 0, 1.0, s.alphas_cumprod[jnp.maximum(time_next, 0)]
+            )
+            sigma = eta * jnp.sqrt(jnp.maximum(
+                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha), 0.0
+            ))
+            c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+            noise = jax.random.normal(noise_key, shape, jnp.float32)
+            img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            return (img, key, cache), (img if return_all_timesteps else None)
+
+        (img, _, _), imgs = jax.lax.scan(
+            step, (img0, rng, cache0),
+            (pairs, jnp.arange(pairs.shape[0])),
+        )
         if return_all_timesteps:
             ret = jnp.concatenate([img0[:, None], jnp.moveaxis(imgs, 0, 1)], axis=1)
         else:

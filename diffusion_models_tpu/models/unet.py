@@ -439,7 +439,17 @@ class Unet(nn.Module):
         return dims, in_out, full_attn, attn_heads, attn_dim_head
 
     @nn.compact
-    def __call__(self, x, time, x_self_cond=None, cond=None, *, train: bool = False):
+    def __call__(
+        self, x, time, x_self_cond=None, cond=None, *, train: bool = False,
+        enc_cache=None, return_enc_cache: bool = False,
+    ):
+        """`enc_cache` / `return_enc_cache` implement encoder propagation
+        (Faster Diffusion, arXiv:2312.09608): at "key" sampling steps the
+        down-path activations (skip list + bottleneck input) are returned as
+        a cache; at non-key steps the cached encoder features are reused and
+        only init-conv + mid + decoder run (~40% of the FLOPs skipped).
+        Opt-in via `GaussianDiffusion.ddim_sample(encoder_cache_interval=k)`;
+        the default path is bit-identical to before."""
         assert all(
             divisible_by(d, self.downsample_factor) for d in x.shape[1:3]
         ), f"input spatial dims {x.shape[1:3]} must divide {self.downsample_factor}"
@@ -520,31 +530,38 @@ class Unet(nn.Module):
 
         resnet = partial(ResnetBlock, dropout=self.dropout, dtype=self.dtype)
 
-        hs = []
-        for ind, ((dim_in, dim_out), fa, heads, dim_head) in enumerate(
-            zip(in_out, full_attn, attn_heads, attn_dim_head)
-        ):
-            is_last = ind >= (num_resolutions - 1)
-            attn_cls = partial(
-                Attention if fa else LinearAttention, flash=self.flash_attn
-            )
+        if enc_cache is not None:
+            hs = list(enc_cache[0])
+            x = enc_cache[1]
+        else:
+            hs = []
+            for ind, ((dim_in, dim_out), fa, heads, dim_head) in enumerate(
+                zip(in_out, full_attn, attn_heads, attn_dim_head)
+            ):
+                is_last = ind >= (num_resolutions - 1)
+                attn_cls = partial(
+                    Attention if fa else LinearAttention, flash=self.flash_attn
+                )
 
-            x = resnet(dim_in, name=f"down_{ind}_block1")(x, t, train=train)
-            hs.append(x)
-            x = resnet(dim_in, name=f"down_{ind}_block2")(x, t, train=train)
-            x = attn_cls(
-                dim_in, heads=heads, dim_head=dim_head, dtype=self.dtype,
-                name=f"down_{ind}_attn",
-            )(x) + x
-            hs.append(x)
+                x = resnet(dim_in, name=f"down_{ind}_block1")(x, t, train=train)
+                hs.append(x)
+                x = resnet(dim_in, name=f"down_{ind}_block2")(x, t, train=train)
+                x = attn_cls(
+                    dim_in, heads=heads, dim_head=dim_head, dtype=self.dtype,
+                    name=f"down_{ind}_attn",
+                )(x) + x
+                hs.append(x)
 
-            if not is_last:
-                x = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(x)
-            else:
-                x = nn.Conv(
-                    dim_out, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"down_{ind}_conv",
-                )(x)
+                if not is_last:
+                    x = Downsample(
+                        dim_out, dtype=self.dtype, name=f"down_{ind}_down"
+                    )(x)
+                else:
+                    x = nn.Conv(
+                        dim_out, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"down_{ind}_conv",
+                    )(x)
+        new_cache = (tuple(hs), x)
 
         if use_xattn:
             x = _cross_attn(x, "cross_attn_down")
@@ -596,4 +613,7 @@ class Unet(nn.Module):
             out_dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
             name="final_conv",
         )(x)
-        return x.astype(jnp.float32)
+        out = x.astype(jnp.float32)
+        if return_enc_cache:
+            return out, new_cache
+        return out

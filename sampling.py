@@ -77,6 +77,9 @@ def main():
                    default=False)
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--images_save_folder", type=str, default=None)
+    p.add_argument("--encoder_cache_interval", type=int, default=1,
+                   help=">1 enables encoder-propagation fast sampling "
+                        "(arXiv:2312.09608): down-path runs every k-th step")
     args = p.parse_args()
 
     results = Path(args.trained_models_folder)
@@ -96,6 +99,7 @@ def main():
         return diffusion.ddim_sample(
             params, rng, diffusion.sample_shape(args.batch_size),
             sampling_timesteps=args.ddim_sampling_timesteps,
+            encoder_cache_interval=args.encoder_cache_interval,
         )
 
     def sample_n(params, rng, total):
