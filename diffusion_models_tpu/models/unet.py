@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diffusion_models_tpu.ops.attention import dot_product_attention, linear_attention
+from diffusion_models_tpu.ops.attention import (
+    dot_product_attention,
+    linear_attention,
+    linear_attention_bnhd,
+)
 from diffusion_models_tpu.utils.helpers import cast_tuple, default, divisible_by, exists
 
 
@@ -234,33 +238,44 @@ class LinearAttention(nn.Module):
             name="to_qkv",
         )(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        # (B, N, H*D) → (B, heads, D, N): linear attention contracts over
-        # tokens, so the token axis sits last (lane dimension).
-        to_hdn = lambda t: t.reshape(b, n, self.heads, self.dim_head).transpose(
-            0, 2, 3, 1
-        )
-        q, k, v = (to_hdn(t) for t in (q, k, v))
 
+        # param kept in the reference (2, H, D, M) shape for checkpoint
+        # compatibility; only the tiny M-slot tensor is transposed.
         mem_kv = self.param(
             "mem_kv",
             nn.initializers.normal(stddev=1.0),
             (2, self.heads, self.dim_head, self.num_mem_kv),
             jnp.float32,
         ).astype(self.dtype)
-        mk = jnp.broadcast_to(mem_kv[0], (b,) + mem_kv[0].shape)
-        mv = jnp.broadcast_to(mem_kv[1], (b,) + mem_kv[1].shape)
-        k = jnp.concatenate([mk, k], axis=-1)
-        v = jnp.concatenate([mv, v], axis=-1)
 
         if self.flash:
             from diffusion_models_tpu.ops.pallas.linear_attention import (
                 fused_linear_attention,
             )
 
+            # flash kernel keeps the (B, H, D, N) token-last layout
+            to_hdn = lambda t: t.reshape(
+                b, n, self.heads, self.dim_head
+            ).transpose(0, 2, 3, 1)
+            q, k, v = (to_hdn(t) for t in (q, k, v))
+            mk = jnp.broadcast_to(mem_kv[0], (b,) + mem_kv[0].shape)
+            mv = jnp.broadcast_to(mem_kv[1], (b,) + mem_kv[1].shape)
+            k = jnp.concatenate([mk, k], axis=-1)
+            v = jnp.concatenate([mv, v], axis=-1)
             out = fused_linear_attention(q, k, v, scale=self.dim_head**-0.5)
+            out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
         else:
-            out = linear_attention(q, k, v, scale=self.dim_head**-0.5)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
+            # token-major (B, N, H, D): head split is a free reshape, no
+            # layout copies of the big tensors (see linear_attention_bnhd)
+            to_nhd = lambda t: t.reshape(b, n, self.heads, self.dim_head)
+            q, k, v = (to_nhd(t) for t in (q, k, v))
+            mem_nhd = mem_kv.transpose(0, 3, 1, 2)  # (2, M, H, D)
+            mk = jnp.broadcast_to(mem_nhd[0], (b,) + mem_nhd[0].shape)
+            mv = jnp.broadcast_to(mem_nhd[1], (b,) + mem_nhd[1].shape)
+            k = jnp.concatenate([mk, k], axis=1)
+            v = jnp.concatenate([mv, v], axis=1)
+            out = linear_attention_bnhd(q, k, v, scale=self.dim_head**-0.5)
+            out = out.reshape(b, h, w, hidden)
         out = nn.Conv(
             self.dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
         )(out)

@@ -23,7 +23,10 @@ from diffusion_models_tpu.models.unet import (
     SinusoidalPosEmb,
     RandomOrLearnedSinusoidalPosEmb,
 )
-from diffusion_models_tpu.ops.attention import dot_product_attention, linear_attention
+from diffusion_models_tpu.ops.attention import (
+    dot_product_attention,
+    linear_attention_bnhd,
+)
 from diffusion_models_tpu.utils.helpers import cast_tuple, default, divisible_by, exists
 
 
@@ -104,12 +107,12 @@ class LinearAttention1D(nn.Module):
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        to_hdn = lambda t: t.reshape(b, n, self.heads, self.dim_head).transpose(
-            0, 2, 3, 1
-        )
-        out = linear_attention(*(to_hdn(t) for t in (q, k, v)),
-                               scale=self.dim_head**-0.5)
-        out = out.transpose(0, 3, 1, 2).reshape(b, n, hidden)
+        # token-major (B, N, H, D): head split is a free reshape (no layout
+        # copies of the big tensors — see linear_attention_bnhd)
+        to_nhd = lambda t: t.reshape(b, n, self.heads, self.dim_head)
+        out = linear_attention_bnhd(*(to_nhd(t) for t in (q, k, v)),
+                                    scale=self.dim_head**-0.5)
+        out = out.reshape(b, n, hidden)
         out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="to_out")(out)
         return RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)

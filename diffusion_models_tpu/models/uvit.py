@@ -80,7 +80,7 @@ class UViTLinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from diffusion_models_tpu.ops.attention import linear_attention
+        from diffusion_models_tpu.ops.attention import linear_attention_bnhd
 
         b, h, w, c = x.shape
         n = h * w
@@ -92,12 +92,12 @@ class UViTLinearAttention(nn.Module):
             x.reshape(b, n, c)
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        to_hdn = lambda t: t.reshape(b, n, self.heads, self.dim_head).transpose(
-            0, 2, 3, 1
-        )
-        out = linear_attention(*(to_hdn(t) for t in (q, k, v)),
-                               scale=self.dim_head**-0.5)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
+        # token-major (B, N, H, D): head split is a free reshape (no layout
+        # copies of the big tensors — see linear_attention_bnhd)
+        to_nhd = lambda t: t.reshape(b, n, self.heads, self.dim_head)
+        out = linear_attention_bnhd(*(to_nhd(t) for t in (q, k, v)),
+                                    scale=self.dim_head**-0.5)
+        out = out.reshape(b, h, w, hidden)
         out = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32, name="to_out")(out)
         out = RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)

@@ -69,3 +69,38 @@ def linear_attention(
         "bhde,bhdn->bhen", context, q_sm, preferred_element_type=jnp.float32
     ).astype(v.dtype)
     return out
+
+
+def linear_attention_bnhd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """`linear_attention` over (B, N, H, D) tensors — the layout the qkv
+    projection produces naturally ((B, N, H·D) split head-wise is a free
+    reshape). Same math as `linear_attention` (q softmaxed over the feature
+    axis, k over tokens, two D×D contractions), but with NO transposes of
+    the token-major tensors: profiling the DDIM sampler showed the
+    (B, H, D, N) layout costs ~5% of device time in pure layout copies
+    around every attention site. Contractions are dot_generals with (b, h)
+    batch dims and the token axis contracting — MXU-shaped (K = N ≥ 256).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    q_sm = jnp.exp(q32 - jnp.max(q32, axis=-1, keepdims=True))
+    q_sm = (q_sm / jnp.sum(q_sm, axis=-1, keepdims=True)).astype(v.dtype)
+    k_sm = jnp.exp(k32 - jnp.max(k32, axis=1, keepdims=True))
+    k_sm = (k_sm / jnp.sum(k_sm, axis=1, keepdims=True)).astype(v.dtype)
+
+    q_sm = q_sm * scale
+    context = jnp.einsum(
+        "bnhd,bnhe->bhde", k_sm, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    out = jnp.einsum(
+        "bnhd,bhde->bnhe", q_sm, context, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out
