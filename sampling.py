@@ -80,6 +80,9 @@ def main():
     p.add_argument("--encoder_cache_interval", type=int, default=1,
                    help=">1 enables encoder-propagation fast sampling "
                         "(arXiv:2312.09608): down-path runs every k-th step")
+    p.add_argument("--milestones", type=int, nargs="+", default=None,
+                   help="restrict the sweep to these milestones "
+                        "(default: all found in the results folder)")
     args = p.parse_args()
 
     results = Path(args.trained_models_folder)
@@ -130,6 +133,9 @@ def main():
 
     milestones = ckpt.milestones()
     print(f"found milestones: {milestones}")
+    if args.milestones is not None:
+        milestones = [m for m in milestones if m in set(args.milestones)]
+        print(f"sweeping milestones: {milestones}")
     # partial restore: sampling needs only the EMA weights + step
     template = {
         "step": jnp.zeros((), jnp.int32),
