@@ -51,9 +51,12 @@ class RMSNorm(nn.Module):
     def __call__(self, x):
         g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
         x32 = x.astype(jnp.float32)
-        norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
-        normed = x32 / jnp.maximum(norm, 1e-12)
-        out = normed * g * (self.dim**0.5)
+        # x/max(||x||,1e-12) as a single rsqrt with the clamp on the square;
+        # per-channel gain and the sqrt(dim) factor fold into one multiplier
+        inv = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(x32 * x32, axis=-1, keepdims=True), 1e-24)
+        )
+        out = x32 * inv * (g * self.dim**0.5)
         return out.astype(self.dtype)
 
 

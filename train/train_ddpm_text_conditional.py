@@ -66,6 +66,7 @@ def build(cfg):
         num_fid_samples=t.get("num_fid_samples", 50000),
         num_samples=t.get("num_samples", 25),
         results_folder=t["results_folder"],
+        steps_per_call=t.get("steps_per_call", 1),
     )
     return unet, diffusion, trainer
 
