@@ -56,6 +56,7 @@ class ElucidatedDiffusion:
             net.learned_sinusoidal_cond or net.random_fourier_features
         ), "EDM conditions on continuous log-σ: use learned/random sinusoidal time embedding"
         self.net = net
+        self.model = net  # Trainer-facing alias (same contract as GaussianDiffusion)
         self.self_condition = getattr(net, "self_condition", False)
         self.channels = channels
         self.image_size = (

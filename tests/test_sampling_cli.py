@@ -45,3 +45,47 @@ def test_build_diffusion_from_config(tmp_path):
     diff = sampling_cli.build_diffusion(args)
     assert diff.model.dim == 8
     assert diff.num_timesteps == 100
+
+
+def test_train_ddpm_build_elucidated(tmp_path):
+    """`diffusion.type: elucidated` builds the EDM process through the same
+    entry point (train/train_ddpm.py), with Fourier time features forced on."""
+    import importlib
+
+    import numpy as np
+    from PIL import Image
+
+    train_ddpm = importlib.import_module("train.train_ddpm")
+    from diffusion_models_tpu.diffusion.elucidated import ElucidatedDiffusion
+
+    ds = tmp_path / "imgs"
+    ds.mkdir()
+    for i in range(16):
+        Image.fromarray(
+            np.full((16, 16, 3), i * 10, dtype=np.uint8)
+        ).save(ds / f"{i}.png")
+
+    cfg = {
+        "unet": {"dim": 8, "dim_mults": [1, 2]},
+        "diffusion": {"type": "elucidated", "image_size": 16,
+                      "num_sample_steps": 4},
+        "trainer": {"data_path": str(ds), "train_batch_size": 16,
+                    "train_lr": 1e-3, "train_num_steps": 10,
+                    "save_and_sample_every": 10,
+                    "calculate_fid": False,
+                    "results_folder": str(tmp_path / "res")},
+    }
+    unet, diff, trainer = train_ddpm.build(cfg)
+    assert isinstance(diff, ElucidatedDiffusion)
+    assert diff.model is unet  # Trainer-facing alias
+    assert diff.objective == "edm"
+    assert unet.learned_sinusoidal_cond  # forced on for EDM
+    assert diff.sample_shape(2) == (2, 16, 16, 3)
+
+
+def test_milestones_filter_semantics():
+    """--milestones restricts the sweep (order preserved, unknown ignored)."""
+    milestones = [1, 2, 3, 4]
+    wanted = [4, 2, 99]
+    filtered = [m for m in milestones if m in set(wanted)]
+    assert filtered == [2, 4]

@@ -23,26 +23,51 @@ from diffusion_models_tpu.utils.config import load_config
 
 def build(cfg):
     unet_cfg = cfg["unet"]
+    d = cfg["diffusion"]
+    # `diffusion.type: elucidated` trains the EDM process (Karras et al.;
+    # reference `elucidated_diffusion.py`) through the same Trainer; EDM
+    # conditions on continuous log-σ, so the net needs Fourier time features
+    diffusion_type = d.get("type", "ddpm")
     unet = Unet(
         dim=unet_cfg["dim"],
         dim_mults=tuple(unet_cfg["dim_mults"]),
         dropout=unet_cfg.get("dropout", 0.0),
         channels=unet_cfg.get("channels", 3),
         self_condition=unet_cfg.get("self_condition", False),
+        learned_sinusoidal_cond=unet_cfg.get(
+            "learned_sinusoidal_cond", diffusion_type == "elucidated"
+        ),
+        random_fourier_features=unet_cfg.get("random_fourier_features", False),
         dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
     )
 
-    d = cfg["diffusion"]
-    diffusion = GaussianDiffusion(
-        unet,
-        image_size=d["image_size"],
-        timesteps=d["timesteps"],
-        sampling_timesteps=d.get("sampling_timesteps"),
-        objective=d.get("objective", "pred_noise"),
-        beta_schedule=d.get("beta_schedule", "linear"),
-        ddpm=d.get("ddpm", True),
-        hybrid_loss=d.get("hybrid_loss", False),
-    )
+    if diffusion_type == "elucidated":
+        from diffusion_models_tpu.diffusion.elucidated import ElucidatedDiffusion
+
+        diffusion = ElucidatedDiffusion(
+            unet,
+            image_size=d["image_size"],
+            channels=unet_cfg.get("channels", 3),
+            num_sample_steps=d.get("num_sample_steps", 32),
+            sigma_min=d.get("sigma_min", 0.002),
+            sigma_max=d.get("sigma_max", 80),
+            sigma_data=d.get("sigma_data", 0.5),
+            rho=d.get("rho", 7),
+            P_mean=d.get("P_mean", -1.2),
+            P_std=d.get("P_std", 1.2),
+            S_churn=d.get("S_churn", 80),
+        )
+    else:
+        diffusion = GaussianDiffusion(
+            unet,
+            image_size=d["image_size"],
+            timesteps=d["timesteps"],
+            sampling_timesteps=d.get("sampling_timesteps"),
+            objective=d.get("objective", "pred_noise"),
+            beta_schedule=d.get("beta_schedule", "linear"),
+            ddpm=d.get("ddpm", True),
+            hybrid_loss=d.get("hybrid_loss", False),
+        )
 
     t = cfg["trainer"]
     trainer = Trainer(
