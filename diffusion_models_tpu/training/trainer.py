@@ -139,6 +139,14 @@ class Trainer:
         self.writer = MetricWriter(self.results_folder / "tensorboard_logs")
         self.ckpt = CheckpointManager(self.results_folder)
 
+        # persistent XLA cache: repeat CLI runs (resume/sweep) skip the
+        # multi-minute TPU compile (no-op on CPU, DMT_COMPILE_CACHE=0 off)
+        from diffusion_models_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
+
         # --- mesh & shardings (data parallel over all devices)
         self.mesh = make_mesh() if mesh is None else mesh
         self.batch_sharding = NamedSharding(self.mesh, P(None, "data"))

@@ -110,6 +110,12 @@ class VAETrainer:
         self.writer = MetricWriter(self.results_folder / "tensorboard_logs")
         self.ckpt = CheckpointManager(self.results_folder)
 
+        from diffusion_models_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
+
         self.mesh = make_mesh() if mesh is None else mesh
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())

@@ -89,3 +89,43 @@ def test_milestones_filter_semantics():
     wanted = [4, 2, 99]
     filtered = [m for m in milestones if m in set(wanted)]
     assert filtered == [2, 4]
+
+
+def test_train_ddpm_build_karras_edm2(tmp_path):
+    """`unet.type: karras` + `diffusion.type: elucidated` builds the EDM2
+    pairing with the forced weight-norm post-update installed."""
+    import importlib
+
+    import numpy as np
+    from PIL import Image
+
+    train_ddpm = importlib.import_module("train.train_ddpm")
+    from diffusion_models_tpu.diffusion.elucidated import ElucidatedDiffusion
+    from diffusion_models_tpu.models.karras_unet import (
+        KarrasUnetND,
+        normalize_karras_weights,
+    )
+
+    ds = tmp_path / "imgs"
+    ds.mkdir()
+    for i in range(16):
+        Image.fromarray(
+            np.full((16, 16, 3), i * 10, dtype=np.uint8)
+        ).save(ds / f"{i}.png")
+
+    cfg = {
+        "unet": {"type": "karras", "dim": 16, "dim_max": 32,
+                 "num_downsamples": 1, "num_blocks_per_stage": 1,
+                 "attn_res": [8], "attn_dim_head": 8},
+        "diffusion": {"type": "elucidated", "image_size": 16,
+                      "num_sample_steps": 4},
+        "trainer": {"data_path": str(ds), "train_batch_size": 16,
+                    "train_lr": 1e-3, "train_num_steps": 10,
+                    "save_and_sample_every": 10,
+                    "calculate_fid": False,
+                    "results_folder": str(tmp_path / "res")},
+    }
+    unet, diff, trainer = train_ddpm.build(cfg)
+    assert isinstance(unet, KarrasUnetND)
+    assert isinstance(diff, ElucidatedDiffusion)
+    assert trainer.post_update_fn is normalize_karras_weights

@@ -28,18 +28,44 @@ def build(cfg):
     # reference `elucidated_diffusion.py`) through the same Trainer; EDM
     # conditions on continuous log-σ, so the net needs Fourier time features
     diffusion_type = d.get("type", "ddpm")
-    unet = Unet(
-        dim=unet_cfg["dim"],
-        dim_mults=tuple(unet_cfg["dim_mults"]),
-        dropout=unet_cfg.get("dropout", 0.0),
-        channels=unet_cfg.get("channels", 3),
-        self_condition=unet_cfg.get("self_condition", False),
-        learned_sinusoidal_cond=unet_cfg.get(
-            "learned_sinusoidal_cond", diffusion_type == "elucidated"
-        ),
-        random_fourier_features=unet_cfg.get("random_fourier_features", False),
-        dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
-    )
+    dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
+    post_update_fn = None
+    # `unet.type: karras` selects the magnitude-preserving Karras U-Net
+    # (EDM2 pairing — reference karras_unet.py); its forced weight norm
+    # runs as the Trainer's post_update_fn.
+    if unet_cfg.get("type") == "karras":
+        from diffusion_models_tpu.models.karras_unet import (
+            KarrasUnetND,
+            normalize_karras_weights,
+        )
+
+        unet = KarrasUnetND(
+            image_size=d["image_size"],
+            dim=unet_cfg["dim"],
+            dim_max=unet_cfg.get("dim_max", 8 * unet_cfg["dim"]),
+            channels=unet_cfg.get("channels", 3),
+            num_downsamples=unet_cfg.get("num_downsamples", 3),
+            num_blocks_per_stage=unet_cfg.get("num_blocks_per_stage", 2),
+            attn_res=tuple(unet_cfg.get("attn_res", (16, 8))),
+            attn_dim_head=unet_cfg.get("attn_dim_head", 64),
+            dropout=unet_cfg.get("dropout", 0.1),
+            self_condition=unet_cfg.get("self_condition", False),
+            dtype=dtype,
+        )
+        post_update_fn = normalize_karras_weights
+    else:
+        unet = Unet(
+            dim=unet_cfg["dim"],
+            dim_mults=tuple(unet_cfg["dim_mults"]),
+            dropout=unet_cfg.get("dropout", 0.0),
+            channels=unet_cfg.get("channels", 3),
+            self_condition=unet_cfg.get("self_condition", False),
+            learned_sinusoidal_cond=unet_cfg.get(
+                "learned_sinusoidal_cond", diffusion_type == "elucidated"
+            ),
+            random_fourier_features=unet_cfg.get("random_fourier_features", False),
+            dtype=dtype,
+        )
 
     if diffusion_type == "elucidated":
         from diffusion_models_tpu.diffusion.elucidated import ElucidatedDiffusion
@@ -86,6 +112,7 @@ def build(cfg):
         results_folder=t["results_folder"],
         save_best_and_latest_only=t.get("save_best_and_latest_only", False),
         steps_per_call=t.get("steps_per_call", 1),
+        post_update_fn=post_update_fn,
     )
     return unet, diffusion, trainer
 
@@ -94,9 +121,20 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="config.yaml",
                         help="Path to YAML config file")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="milestone to resume from (int, 'latest', "
+                             "'best', or 'preempt')")
     args = parser.parse_args()
     cfg = load_config(args.config)
     unet, diffusion, trainer = build(cfg)
+
+    if args.resume is not None:
+        milestone = (
+            int(args.resume) if args.resume.isdigit() else args.resume
+        )
+        trainer.load(milestone)
+        print(f"resumed from milestone {milestone} "
+              f"at step {int(trainer.state.step)}")
 
     n_params = sum(
         p.size for p in jax.tree_util.tree_leaves(trainer.state.params)
