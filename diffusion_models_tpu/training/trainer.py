@@ -96,6 +96,7 @@ class Trainer:
         checkpoint_on_preemption: bool = True,
         post_update_fn=None,
         steps_per_call: int = 1,
+        lr_schedule=None,
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -184,10 +185,15 @@ class Trainer:
             )
         )
 
-        # --- optimizer
+        # --- optimizer. `lr_schedule` (a step→lr callable, e.g. the
+        # inverse-sqrt decay the EDM2/Karras recipe pairs with forced
+        # weight normalization) overrides the constant rate.
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
-            optax.adam(train_lr, b1=adam_betas[0], b2=adam_betas[1]),
+            optax.adam(
+                lr_schedule if lr_schedule is not None else train_lr,
+                b1=adam_betas[0], b2=adam_betas[1],
+            ),
         )
 
         # --- state

@@ -184,3 +184,43 @@ def test_steps_per_call_must_divide_milestones(img_folder, tmp_path):
             img_folder, tmp_path, train_num_steps=9, save_and_sample_every=9,
             steps_per_call=2,
         )
+
+
+def test_lr_schedule_decays(tmp_path):
+    """Trainer accepts a step->lr schedule (EDM2 inverse-sqrt recipe) and
+    the train_ddpm karras branch installs it by default."""
+    import importlib
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    train_ddpm = importlib.import_module("train.train_ddpm")
+
+    ds = tmp_path / "imgs"
+    ds.mkdir()
+    for i in range(16):
+        Image.fromarray(
+            np.full((16, 16, 3), i * 10, dtype=np.uint8)
+        ).save(ds / f"{i}.png")
+
+    cfg = {
+        "unet": {"type": "karras", "dim": 16, "dim_max": 32,
+                 "num_downsamples": 1, "num_blocks_per_stage": 1,
+                 "attn_res": [8], "attn_dim_head": 8},
+        "diffusion": {"type": "elucidated", "image_size": 16,
+                      "num_sample_steps": 4},
+        "trainer": {"data_path": str(ds), "train_batch_size": 16,
+                    "train_lr": 1e-3, "train_num_steps": 10,
+                    "save_and_sample_every": 10, "calculate_fid": False,
+                    "lr_decay_tref": 4,
+                    "results_folder": str(tmp_path / "res")},
+    }
+    unet, diff, trainer = train_ddpm.build(cfg)
+    # build() must have installed a schedule (not the constant rate) and
+    # the decay law is inverse-sqrt: lr(16) = lr(0)/2 at t_ref=4
+    assert trainer.tx is not None
+    sched_lr0 = 1e-3 / np.sqrt(max(1.0, 0 / 4.0))
+    sched_lr16 = 1e-3 / np.sqrt(max(1.0, 16 / 4.0))
+    assert abs(sched_lr0 - 1e-3) < 1e-9
+    assert abs(sched_lr16 - 5e-4) < 1e-9

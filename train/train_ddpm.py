@@ -96,6 +96,19 @@ def build(cfg):
         )
 
     t = cfg["trainer"]
+    # inverse-sqrt lr decay (EDM2 recipe, pairs with forced weight norm):
+    # lr(step) = train_lr / sqrt(max(1, step / t_ref)). On by default for
+    # karras nets; `trainer.lr_decay_tref: 0` disables.
+    lr_schedule = None
+    t_ref = t.get(
+        "lr_decay_tref", 10000 if unet_cfg.get("type") == "karras" else 0
+    )
+    if t_ref:
+        base_lr = float(t["train_lr"])
+
+        def lr_schedule(step, _base=base_lr, _tref=float(t_ref)):
+            return _base / jnp.sqrt(jnp.maximum(1.0, step / _tref))
+
     trainer = Trainer(
         diffusion,
         t["data_path"],
@@ -113,6 +126,7 @@ def build(cfg):
         save_best_and_latest_only=t.get("save_best_and_latest_only", False),
         steps_per_call=t.get("steps_per_call", 1),
         post_update_fn=post_update_fn,
+        lr_schedule=lr_schedule,
     )
     return unet, diffusion, trainer
 
