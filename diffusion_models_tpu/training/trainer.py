@@ -410,12 +410,24 @@ class Trainer:
     def save(self, milestone):
         self.ckpt.save(milestone, self._state_dict())
 
-    def load(self, milestone):
-        restored = self.ckpt.restore(milestone, self._state_dict())
+    def load(self, milestone, params_only: bool = False):
+        """`params_only=True` restores params/EMA/step but re-initializes
+        the optimizer state — required when the optimizer configuration
+        changed since the checkpoint (e.g. a new lr schedule alters the
+        opt_state pytree structure, which a full restore rejects)."""
+        if params_only:
+            sd = self._state_dict()
+            template = {k: sd[k] for k in
+                        ("step", "params", "ema_params", "ema_step")}
+            restored = self.ckpt.restore(milestone, template, partial=True)
+            opt_state = self.tx.init(restored["params"])
+        else:
+            restored = self.ckpt.restore(milestone, self._state_dict())
+            opt_state = restored["opt_state"]
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=restored["params"],
-            opt_state=restored["opt_state"],
+            opt_state=opt_state,
             ema=EMAState(
                 params=restored["ema_params"],
                 step=jnp.asarray(restored["ema_step"], jnp.int32),

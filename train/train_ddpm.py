@@ -138,6 +138,11 @@ def main():
     parser.add_argument("--resume", type=str, default=None,
                         help="milestone to resume from (int, 'latest', "
                              "'best', or 'preempt')")
+    parser.add_argument("--resume_params_only", action="store_true",
+                        help="with --resume: restore params/EMA/step but "
+                             "re-initialize the optimizer (needed when the "
+                             "optimizer config changed, e.g. a new lr "
+                             "schedule)")
     args = parser.parse_args()
     cfg = load_config(args.config)
     unet, diffusion, trainer = build(cfg)
@@ -146,9 +151,10 @@ def main():
         milestone = (
             int(args.resume) if args.resume.isdigit() else args.resume
         )
-        trainer.load(milestone)
+        trainer.load(milestone, params_only=args.resume_params_only)
         print(f"resumed from milestone {milestone} "
-              f"at step {int(trainer.state.step)}")
+              f"at step {int(trainer.state.step)}"
+              + (" (fresh optimizer)" if args.resume_params_only else ""))
 
     n_params = sum(
         p.size for p in jax.tree_util.tree_leaves(trainer.state.params)
