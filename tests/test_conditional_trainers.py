@@ -99,3 +99,39 @@ def test_text_conditional_trainer(text_root, tmp_path):
     # captions saved alongside the grid
     captions = (tmp_path / "r" / "sample-1.txt").read_text().splitlines()
     assert len(captions) == 4
+
+
+def test_image_conditional_fused_steps_match_single(paired_root, tmp_path):
+    """steps_per_call>1 must be equivalent on CONDITIONAL (tuple) batches
+    too — the fused (K, accum, B, ...) stacking is pytree-generic."""
+    import jax
+    import numpy as np
+
+    def make(folder, steps_per_call):
+        model = Unet(dim=8, dim_mults=(1, 2), channels=3, cond_channels=3)
+        diff = ImageConditionalGaussianDiffusion(
+            model, image_size=16, timesteps=10, sampling_timesteps=2,
+            beta_schedule="cosine",
+            condition_data_folder=paired_root / "condition",
+        )
+        return ImageConditionalTrainer(
+            diff, str(paired_root),
+            train_batch_size=16, train_num_steps=4, train_lr=1e-3,
+            save_and_sample_every=4, num_samples=4,
+            calculate_fid=False, calculate_is=False,
+            results_folder=str(folder), num_workers=1,
+            steps_per_call=steps_per_call,
+        )
+
+    t1 = make(tmp_path / "a", 1)
+    t1.train()
+    t2 = make(tmp_path / "b", 2)
+    t2.train()
+    assert int(t1.state.step) == int(t2.state.step) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
