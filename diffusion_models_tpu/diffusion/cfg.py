@@ -307,8 +307,12 @@ class CFGGaussianDiffusion(GaussianDiffusion):
 
         return ModelPrediction(pred_noise, x_start)
 
-    def sample(self, params, rng, classes=None, batch_size: Optional[int] = None,
-               cond=None, return_all_timesteps: bool = False):
+    def sample(self, params, rng, batch_size: Optional[int] = None,
+               cond=None, return_all_timesteps: bool = False, *,
+               classes=None):
+        """Positionally compatible with the base `GaussianDiffusion.sample`
+        (so the generic Trainer's `_jit_sample` works unchanged); `classes`
+        is an alias for `cond`."""
         classes = default(classes, cond)
         assert classes is not None, "CFG sampling requires `classes`"
         batch_size = default(batch_size, classes.shape[0])

@@ -92,6 +92,7 @@ class GaussianDiffusion:
         self.objective = objective
 
         self.num_timesteps = int(timesteps)
+        self.beta_schedule = beta_schedule
         self.sampling_timesteps = default(sampling_timesteps, timesteps)
         assert self.sampling_timesteps <= timesteps
         self.is_ddim_sampling = self.sampling_timesteps < timesteps
@@ -516,6 +517,17 @@ class GaussianDiffusion:
             "custom _apply_model (e.g. CFG's guided 2B forward) are not "
             "supported"
         )
+        # clear error instead of an opaque Flax TypeError deep inside
+        # lax.cond tracing when the model can't cache (Unet1D/UViT/Karras)
+        import inspect
+
+        model_params = inspect.signature(type(self.model).__call__).parameters
+        if not {"return_enc_cache", "enc_cache"} <= set(model_params):
+            raise TypeError(
+                f"encoder_cache_interval > 1 requires a model with "
+                f"`return_enc_cache`/`enc_cache` forward kwargs (the 2D "
+                f"Unet); {type(self.model).__name__} does not support it"
+            )
         sampling_timesteps = default(sampling_timesteps, self.sampling_timesteps)
         eta = default(eta, self.ddim_sampling_eta)
         batch = shape[0]

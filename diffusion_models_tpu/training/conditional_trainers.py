@@ -25,6 +25,7 @@ import jax
 
 from diffusion_models_tpu.training.trainer import Trainer
 from diffusion_models_tpu.utils.data import (
+    ClassConditionalDataset,
     ImageConditionalDataset,
     TextConditionalDataset,
 )
@@ -95,6 +96,57 @@ class ImageConditionalTrainer(Trainer):
             self.save("latest")
         else:
             self.save(milestone)
+
+
+class CFGTrainer(Trainer):
+    """Trainer over (image, class-label) pairs for classifier-free guidance
+    (reference `classifier_free_guidance.py` defines the model/diffusion but
+    no trainer — training reuses the generic loop with class conds)."""
+
+    def build_dataset(self, folder, *, augment_horizontal_flip, convert_image_to):
+        return ClassConditionalDataset(
+            folder,
+            self.data_image_size,
+            augment_horizontal_flip=augment_horizontal_flip,
+            convert_image_to=convert_image_to,
+        )
+
+    def batch_to_args(self, batch):
+        img, classes = batch
+        return img, classes
+
+    def sample_cond(self, n: int, rng: np.random.Generator):
+        return rng.integers(self.dataset.num_classes, size=n).astype(np.int32)
+
+    def _milestone_eval(self, step: int):
+        milestone = step // self.save_and_sample_every
+        # grid conditioned on a deterministic class cycle (row ≈ class)
+        rng = jax.random.PRNGKey(milestone)
+        n = self.num_samples
+        classes = (np.arange(n) % self.dataset.num_classes).astype(np.int32)
+        chunks = []
+        for i, sz in enumerate(num_to_groups(n, self.batch_size)):
+            rng, key = jax.random.split(rng)
+            block = np.zeros((self.batch_size,), np.int32)
+            sel = classes[i * self.batch_size : i * self.batch_size + sz]
+            block[: len(sel)] = sel
+            out = self._jit_sample(
+                self.state.ema.params, key, self.batch_size, block
+            )
+            chunks.append(np.asarray(out[:sz]))
+        grid = np.concatenate(chunks, axis=0)
+        save_image_grid(
+            grid,
+            self.results_folder / f"sample-{milestone}.png",
+            nrow=int(np.sqrt(self.num_samples)),
+        )
+        with open(self.results_folder / f"sample-{milestone}.txt", "w") as f:
+            f.write(
+                "\n".join(self.dataset.class_names[c] for c in classes)
+            )
+        self.writer.image("Samples", grid[0], step)
+
+        ImageConditionalTrainer._conditional_eval_and_save(self, step, milestone)
 
 
 class TextConditionalTrainer(Trainer):

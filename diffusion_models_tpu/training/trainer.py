@@ -53,6 +53,22 @@ from diffusion_models_tpu.utils.image import save_image_grid
 from diffusion_models_tpu.utils.logging import MetricWriter
 
 
+def build_lr_schedule(config: Optional[dict]):
+    """Reconstruct a step→lr callable from its JSON-able description
+    (the `lr_schedule_config` recorded in training_params.json), so a
+    resumed or re-swept run uses the exact original schedule."""
+    if config is None:
+        return None
+    if config["type"] == "constant":
+        base = float(config["base_lr"])
+        return lambda step: jnp.full((), base, jnp.float32)
+    if config["type"] == "inv_sqrt":
+        # EDM2 recipe: lr(step) = base / sqrt(max(1, step / t_ref))
+        base, t_ref = float(config["base_lr"]), float(config["t_ref"])
+        return lambda step: base / jnp.sqrt(jnp.maximum(1.0, step / t_ref))
+    raise ValueError(f"unknown lr_schedule type: {config['type']!r}")
+
+
 @struct.dataclass
 class TrainState:
     step: jnp.ndarray
@@ -97,6 +113,7 @@ class Trainer:
         post_update_fn=None,
         steps_per_call: int = 1,
         lr_schedule=None,
+        lr_schedule_config: Optional[dict] = None,
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -129,6 +146,11 @@ class Trainer:
             assert train_num_steps % steps_per_call == 0
         self.steps_per_call = steps_per_call
         self.seed = seed
+        # JSON-able description of `lr_schedule` ({"type", "t_ref",
+        # "base_lr"}); lands in training_params.json so a sweep can
+        # reconstruct the run's optimizer exactly (a callable schedule is
+        # not JSON-able and would silently vanish from the dump)
+        self.lr_schedule_config = lr_schedule_config
         self.num_fid_samples = num_fid_samples
         self.save_best_and_latest_only = save_best_and_latest_only
         self.calculate_fid = calculate_fid
@@ -449,6 +471,7 @@ class Trainer:
         out["image_size"] = list(self.diffusion.image_size)
         out["timesteps"] = self.diffusion.num_timesteps
         out["objective"] = self.diffusion.objective
+        out["beta_schedule"] = getattr(self.diffusion, "beta_schedule", None)
         model = self.diffusion.model
         out["unet_dim"] = getattr(model, "dim", None)
         out["unet_dim_mults"] = list(getattr(model, "dim_mults", ()))
@@ -478,7 +501,7 @@ class Trainer:
         if self.checkpoint_on_preemption:
             self._install_preemption_handler()
         step = int(self.state.step)
-        t0 = time.time()
+        t0, rate_step = time.time(), step
         loss = None  # stays None if the run is already complete on entry
         pending = None  # (step, device loss) — materialized one step later so
         # the host never blocks on the step it just dispatched (async dispatch
@@ -500,15 +523,18 @@ class Trainer:
                 if self.detect_anomalies and not np.isfinite(loss_val):
                     self.save("anomaly")
                     raise FloatingPointError(
-                        f"non-finite loss {loss_val} at step {prev_step}; "
-                        f"state checkpointed to model-anomaly"
+                        f"non-finite loss {loss_val} first observed at step "
+                        f"{prev_step}; checkpointed state is at step {step} "
+                        f"(deferred loss check — with steps_per_call={k} the "
+                        f"saved state may include up to {2 * k - 1} "
+                        f"optimizer steps past the first NaN)"
                     )
                 self.writer.scalar("Train/Loss", loss_val, prev_step)
             pending = (step, loss) if step % log_every < k else None
             if step % 100 < k:
-                rate = 100 / max(time.time() - t0, 1e-9)
+                rate = (step - rate_step) / max(time.time() - t0, 1e-9)
                 self.writer.scalar("Train/steps_per_sec", rate, step)
-                t0 = time.time()
+                t0, rate_step = time.time(), step
 
             if step != 0 and step % self.save_and_sample_every == 0:
                 self._milestone_eval(step)

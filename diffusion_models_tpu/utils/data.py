@@ -191,11 +191,13 @@ class ImageFolderDataset:
             self.convert_image_to,
         )
 
-    def get_batch(self, idxs, rngs) -> np.ndarray:
+    def get_batch(self, idxs, rngs) -> Optional[np.ndarray]:
         """Vectorized batch assembly from the RAM cache (gather + flip +
-        normalize); falls back to stacked per-item decode without it."""
+        normalize). Returns None when the cache is unavailable (dataset too
+        large / ragged / disabled) so the DataLoader falls through to its
+        parallel per-item decode path instead of a serial stack."""
         if not self._ensure_cache():
-            return np.stack([self.get(int(i), r) for i, r in zip(idxs, rngs)])
+            return None
         batch = self._cache[np.asarray(idxs, np.int64)].astype(np.float32)
         batch /= 255.0
         if self.augment_horizontal_flip:
@@ -245,6 +247,57 @@ class ImageConditionalDataset:
             p, self.image_size, rng, self.augment_horizontal_flip, "RGB"
         )
         return load(self._target_path(cond_path)), load(cond_path)
+
+
+class ClassConditionalDataset(ImageFolderDataset):
+    """Images + integer class labels, for classifier-free guidance training
+    (reference `classifier_free_guidance.py` takes `classes` tensors but
+    ships no dataset; this supplies one from the caption-folder layout).
+
+    Layout: `root/{target/*.png, condition/*.txt}` — the same layout the
+    text-conditional pipeline uses (`train/utils/data.py` caption-folder
+    convention); the class of an image is the index of its caption string in
+    the sorted set of unique captions. Items are `(image, class_int32)`.
+    """
+
+    def __init__(
+        self,
+        root,
+        image_size,
+        augment_horizontal_flip: bool = False,
+        convert_image_to: Optional[str] = None,
+        cache_in_memory: bool | str = "auto",
+    ):
+        root = Path(root)
+        super().__init__(
+            root / "target",
+            image_size,
+            augment_horizontal_flip=augment_horizontal_flip,
+            convert_image_to=convert_image_to,
+            cache_in_memory=cache_in_memory,
+        )
+        captions = {}
+        for p in self.paths:
+            cap_path = root / "condition" / f"{p.stem}.txt"
+            captions[p.stem] = cap_path.read_text().strip()
+        self.class_names = sorted(set(captions.values()))
+        name_to_idx = {n: i for i, n in enumerate(self.class_names)}
+        self.labels = np.asarray(
+            [name_to_idx[captions[p.stem]] for p in self.paths], np.int32
+        )
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        return super().get(index, rng), self.labels[index]
+
+    def get_batch(self, idxs, rngs):
+        imgs = super().get_batch(idxs, rngs)
+        if imgs is None:
+            return None
+        return imgs, self.labels[np.asarray(idxs, np.int64)]
 
 
 class TextConditionalDataset:
@@ -382,7 +435,9 @@ class DataLoader:
                 np.random.default_rng((epoch_seed, int(i))) for i in idxs
             ]
             if hasattr(self.dataset, "get_batch"):
-                return self.dataset.get_batch(idxs, rngs)
+                batch = self.dataset.get_batch(idxs, rngs)
+                if batch is not None:
+                    return batch
             items = list(
                 pool.map(lambda a: self.dataset.get(int(a[0]), a[1]), zip(idxs, rngs))
             )

@@ -43,8 +43,20 @@ def build_diffusion(args):
         tp = json.loads(
             (Path(args.trained_models_folder) / "training_params.json").read_text()
         )
-        unet_cfg = {"dim": tp.get("unet_dim", 64), "dim_mults": tp.get("unet_dim_mults", [1, 2, 4, 8])}
-        d = {"image_size": tp["image_size"][0], "timesteps": tp["timesteps"]}
+        unet_cfg = {
+            "dim": tp.get("unet_dim", 64),
+            "dim_mults": tp.get("unet_dim_mults", [1, 2, 4, 8]),
+            "channels": tp.get("channels", 3),
+        }
+        # the run's recorded process config — a run trained with pred_v /
+        # a non-linear schedule must be swept with the same settings or the
+        # samples are silently garbage
+        d = {
+            "image_size": tp["image_size"][0],
+            "timesteps": tp["timesteps"],
+            "objective": tp.get("objective", "pred_noise"),
+            "beta_schedule": tp.get("beta_schedule", "linear"),
+        }
 
     unet = Unet(
         dim=unet_cfg["dim"],
@@ -57,6 +69,8 @@ def build_diffusion(args):
         image_size=d["image_size"],
         timesteps=d["timesteps"],
         sampling_timesteps=args.ddim_sampling_timesteps,
+        objective=d.get("objective", "pred_noise"),
+        beta_schedule=d.get("beta_schedule", "linear"),
     )
 
 

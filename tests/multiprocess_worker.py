@@ -1,0 +1,82 @@
+"""Worker for the REAL multi-process data-parallel test.
+
+Launched as a subprocess (one per simulated host) by
+`tests/test_multiprocess.py`. Each process contributes one CPU device to a
+global 2-device mesh via `jax.distributed.initialize` — this executes the
+actual `process_count > 1` branches in the Trainer
+(`make_array_from_process_local_data` batch assembly + per-process
+DataLoader sharding), which the single-process 8-fake-device mesh tests
+cannot reach.
+
+    python tests/multiprocess_worker.py <pid> <nprocs> <port> <data> <out>
+"""
+
+import os
+import sys
+
+# one CPU device per process (scrub the 8-fake-device flag the test suite
+# sets), and force the CPU platform before any backend use — the
+# environment's sitecustomize registers the TPU plugin in every interpreter.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+
+def main():
+    process_id = int(sys.argv[1])
+    num_processes = int(sys.argv[2])
+    port = int(sys.argv[3])
+    data_folder = sys.argv[4]
+    out_dir = sys.argv[5]
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == num_processes
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import numpy as np
+    from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
+    from diffusion_models_tpu.models.unet import Unet
+    from diffusion_models_tpu.training.trainer import Trainer
+
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(
+        model, image_size=16, timesteps=10, sampling_timesteps=3,
+        beta_schedule="cosine",
+    )
+    trainer = Trainer(
+        diff,
+        data_folder,
+        train_batch_size=16,  # global batch; each process loads 8
+        train_num_steps=3,
+        train_lr=1e-3,
+        save_and_sample_every=1000,
+        num_samples=4,
+        calculate_fid=False,
+        calculate_is=False,
+        results_folder=os.path.join(out_dir, f"results_p{process_id}"),
+        num_workers=2,
+        augment_horizontal_flip=True,
+    )
+    trainer.train()
+
+    if jax.process_index() == 0:
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        np.savez(
+            os.path.join(out_dir, "final_params.npz"),
+            *[np.asarray(l) for l in leaves],
+        )
+        with open(os.path.join(out_dir, "done"), "w") as f:
+            f.write("ok")
+
+
+if __name__ == "__main__":
+    main()

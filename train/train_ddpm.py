@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
 from diffusion_models_tpu.models.unet import Unet
-from diffusion_models_tpu.training.trainer import Trainer
+from diffusion_models_tpu.training.trainer import Trainer, build_lr_schedule
 from diffusion_models_tpu.utils.config import load_config
 
 
@@ -99,15 +99,17 @@ def build(cfg):
     # inverse-sqrt lr decay (EDM2 recipe, pairs with forced weight norm):
     # lr(step) = train_lr / sqrt(max(1, step / t_ref)). On by default for
     # karras nets; `trainer.lr_decay_tref: 0` disables.
-    lr_schedule = None
+    lr_schedule = lr_schedule_config = None
     t_ref = t.get(
         "lr_decay_tref", 10000 if unet_cfg.get("type") == "karras" else 0
     )
     if t_ref:
-        base_lr = float(t["train_lr"])
-
-        def lr_schedule(step, _base=base_lr, _tref=float(t_ref)):
-            return _base / jnp.sqrt(jnp.maximum(1.0, step / _tref))
+        lr_schedule_config = {
+            "type": "inv_sqrt",
+            "t_ref": float(t_ref),
+            "base_lr": float(t["train_lr"]),
+        }
+        lr_schedule = build_lr_schedule(lr_schedule_config)
 
     trainer = Trainer(
         diffusion,
@@ -127,6 +129,7 @@ def build(cfg):
         steps_per_call=t.get("steps_per_call", 1),
         post_update_fn=post_update_fn,
         lr_schedule=lr_schedule,
+        lr_schedule_config=lr_schedule_config,
     )
     return unet, diffusion, trainer
 
