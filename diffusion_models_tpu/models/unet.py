@@ -21,6 +21,7 @@ TPU-native choices (not a translation of the torch module):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -33,6 +34,7 @@ from diffusion_models_tpu.ops.attention import (
     linear_attention,
     linear_attention_bnhd,
 )
+from diffusion_models_tpu.ops.pallas.rms_film_silu import rms_film_silu
 from diffusion_models_tpu.utils.helpers import cast_tuple, default, divisible_by, exists
 
 
@@ -42,17 +44,28 @@ class RMSNorm(nn.Module):
     Matches the reference RMSNorm (`denoising_diffusion.py:60-67`):
     l2-normalize over channels, scale by a learned per-channel gain times
     sqrt(dim). Normalization runs in f32 for bf16 safety.
+
+    4-D inputs take the fused-epilogue entry (`ops/pallas/rms_film_silu.py`)
+    so the optional FiLM scale-shift, SiLU, residual add, and final cast
+    are one expression XLA schedules as reduce + a single elementwise pass.
+    (The Pallas one-pass variant of the same epilogue measured SLOWER than
+    XLA's schedule on the flagship model — see the module's measurement
+    note — so it is opt-in via DMT_PALLAS_NORM=1.)
     """
 
     dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, shift=None, residual=None,
+                 silu: bool = False):
         g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+        if x.ndim == 4:
+            return rms_film_silu(
+                x.astype(self.dtype), g, scale, shift, residual, silu=silu
+            )
+        assert scale is None and residual is None and not silu
         x32 = x.astype(jnp.float32)
-        # x/max(||x||,1e-12) as a single rsqrt with the clamp on the square;
-        # per-channel gain and the sqrt(dim) factor fold into one multiplier
         inv = jax.lax.rsqrt(
             jnp.maximum(jnp.sum(x32 * x32, axis=-1, keepdims=True), 1e-24)
         )
@@ -107,17 +120,29 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, scale_shift=None, *, train: bool = False):
+    def __call__(self, x, scale_shift=None, *, train: bool = False,
+                 residual=None):
+        """`residual` is fused into the norm epilogue kernel (added after the
+        final cast) when dropout is inactive; with active dropout the add
+        happens after the dropout mask, matching `h + res` semantics."""
         x = nn.Conv(
             self.dim_out, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
             name="proj",
         )(x)
-        x = RMSNorm(self.dim_out, dtype=self.dtype, name="norm")(x)
+        scale = shift = None
         if exists(scale_shift):
-            scale, shift = scale_shift
-            x = x * (scale + 1) + shift
-        x = nn.silu(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+            scale, shift = scale_shift  # (B, 1, 1, C) each
+            scale = scale.reshape(scale.shape[0], scale.shape[-1])
+            shift = shift.reshape(shift.shape[0], shift.shape[-1])
+        drop_active = train and self.dropout > 0
+        x = RMSNorm(self.dim_out, dtype=self.dtype, name="norm")(
+            x, scale=scale, shift=shift,
+            residual=None if drop_active else residual, silu=True,
+        )
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if drop_active and exists(residual):
+            x = x + residual
+        return x
 
 
 class ResnetBlock(nn.Module):
@@ -144,14 +169,16 @@ class ResnetBlock(nn.Module):
         h = Block(self.dim_out, dropout=self.dropout, dtype=self.dtype, name="block1")(
             x, scale_shift=scale_shift, train=train
         )
-        h = Block(self.dim_out, dtype=self.dtype, name="block2")(h, train=train)
-
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(
                 self.dim_out, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                 name="res_conv",
             )(x)
-        return h + x
+        # residual add rides block2's fused norm epilogue (block2 has no
+        # dropout — reference `denoising_diffusion.py:131`)
+        return Block(self.dim_out, dtype=self.dtype, name="block2")(
+            h, train=train, residual=x
+        )
 
 
 def _qkv_heads(x, heads):
@@ -159,6 +186,59 @@ def _qkv_heads(x, heads):
     b, n, hd = x.shape
     d = hd // heads
     return x.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+
+
+class _Gain(nn.Module):
+    """Param holder: an RMSNorm gain with the same path (`<name>/g`) the
+    RMSNorm module would create — lets LinearAttention route the SAME
+    parameters through either the fused Pallas block or the jnp path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching `nn.Dense(features)` (kernel (in, out), lecun
+    normal; optional zero bias)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class _Conv1x1Params(nn.Module):
+    """Param holder matching `nn.Conv(features, (1, 1))` (kernel
+    (1, 1, in, out), lecun normal; zero bias)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
 
 
 class Attention(nn.Module):
@@ -176,7 +256,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         b, h, w, c = x.shape
         hidden = self.heads * self.dim_head
 
@@ -210,46 +290,82 @@ class Attention(nn.Module):
         else:
             out = dot_product_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
-        return nn.Conv(
+        out = nn.Conv(
             self.dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
         )(out)
+        # XLA fuses the residual add into the 1×1-conv epilogue
+        return out if residual is None else out + residual
 
 
 class LinearAttention(nn.Module):
     """O(N) linear attention with memory KV and a gated output norm
-    (`denoising_diffusion.py:150-193`). `flash=True` routes the
-    softmax/contraction chain through the fused Pallas kernel."""
+    (`denoising_diffusion.py:150-193`).
+
+    Data paths (identical parameters and math in all three):
+      - `fused_block` (opt-in, `DMT_PALLAS_LINATTN=1`): the WHOLE block —
+        pre-norm, qkv projection, both softmaxes, contractions, output
+        projection, out-norm, residual — as one Pallas kernel
+        (`ops/pallas/linear_attn_block.py`). Round-3 profiling showed the
+        XLA path inside the full U-Net spends ~10× the standalone cost on
+        these sites (layout pathology), but MEASURED end-to-end the kernel
+        still LOST: 351.0 samples/s vs 414–427 for the XLA path (the
+        pallas_call layout pins push the copies elsewhere in the graph).
+        See docs/ROUND3_NOTES.md. Kept for re-measurement on other shapes.
+      - `flash=True`: round-2 per-(b·h) Pallas contraction kernel.
+      - otherwise (DEFAULT): the jnp path (`linear_attention_bnhd`), which
+        XLA fuses — also the reference for parity tests.
+    """
 
     dim: int
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
     flash: bool = False
+    fused_block: Optional[bool] = None  # None = auto: on for TPU
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         b, h, w, c = x.shape
         n = h * w
         hidden = self.heads * self.dim_head
 
-        x = RMSNorm(self.dim, dtype=self.dtype, name="norm")(x)
-        tokens = x.reshape(b, n, c)
-
-        qkv = nn.Dense(
-            hidden * 3, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name="to_qkv",
-        )(tokens)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        # param kept in the reference (2, H, D, M) shape for checkpoint
-        # compatibility; only the tiny M-slot tensor is transposed.
+        # raw parameters, shared verbatim by every data path (paths/shapes
+        # identical to the previous nn.Dense/nn.Conv/RMSNorm modules, so
+        # checkpoints and torch converters are unaffected)
+        g1 = _Gain(self.dim, name="norm")()
+        wqkv, _ = _DenseParams(c, hidden * 3, use_bias=False, name="to_qkv")()
         mem_kv = self.param(
             "mem_kv",
             nn.initializers.normal(stddev=1.0),
             (2, self.heads, self.dim_head, self.num_mem_kv),
             jnp.float32,
         ).astype(self.dtype)
+        wout, bout = _Conv1x1Params(hidden, self.dim, name="to_out")()
+        g2 = _Gain(self.dim, name="out_norm")()
+
+        use_fused = self.fused_block
+        if use_fused is None:
+            use_fused = os.environ.get("DMT_PALLAS_LINATTN", "0") == "1"
+        if use_fused and not self.flash and residual is x:
+            from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+                linear_attention_block,
+            )
+
+            out = linear_attention_block(
+                x.astype(self.dtype).reshape(b, n, c),
+                g1, wqkv, mem_kv,
+                wout.reshape(hidden, self.dim), bout, g2,
+                heads=self.heads, dim_head=self.dim_head,
+                scale=self.dim_head**-0.5,
+            )
+            return out.reshape(b, h, w, c)
+
+        # ---- jnp / flash paths ------------------------------------------
+        xn = rms_film_silu(x.astype(self.dtype), g1, silu=False)
+        tokens = xn.reshape(b, n, c)
+        qkv = tokens @ wqkv.astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.flash:
             from diffusion_models_tpu.ops.pallas.linear_attention import (
@@ -279,10 +395,13 @@ class LinearAttention(nn.Module):
             v = jnp.concatenate([mv, v], axis=1)
             out = linear_attention_bnhd(q, k, v, scale=self.dim_head**-0.5)
             out = out.reshape(b, h, w, hidden)
-        out = nn.Conv(
-            self.dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
-        )(out)
-        return RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)
+
+        # 1×1 output conv == matmul over the channel axis (+ bias)
+        out = out @ wout.reshape(hidden, self.dim).astype(self.dtype)
+        out = out + bout.astype(self.dtype)
+        out = out.reshape(b, h, w, self.dim)
+        # residual rides the out_norm fused epilogue (one pass, no extra add)
+        return rms_film_silu(out, g2, residual=residual, silu=False)
 
 
 class RMSNorm1D(nn.Module):
@@ -567,7 +686,7 @@ class Unet(nn.Module):
                 x = attn_cls(
                     dim_in, heads=heads, dim_head=dim_head, dtype=self.dtype,
                     name=f"down_{ind}_attn",
-                )(x) + x
+                )(x, residual=x)
                 hs.append(x)
 
                 if not is_last:
@@ -591,7 +710,7 @@ class Unet(nn.Module):
         x = Attention(
             mid_dim, heads=attn_heads[-1], dim_head=attn_dim_head[-1],
             flash=self.flash_attn, dtype=self.dtype, name="mid_attn",
-        )(x) + x
+        )(x, residual=x)
         x = resnet(mid_dim, name="mid_block2")(x, t, train=train)
         if use_xattn:
             x = _cross_attn(x, "cross_attn_up")
@@ -614,7 +733,7 @@ class Unet(nn.Module):
             x = attn_cls(
                 dim_out, heads=heads, dim_head=dim_head, dtype=self.dtype,
                 name=f"up_{ind}_attn",
-            )(x) + x
+            )(x, residual=x)
 
             if not is_last:
                 x = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(x)

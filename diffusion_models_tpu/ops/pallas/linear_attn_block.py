@@ -1,0 +1,275 @@
+"""The ENTIRE LinearAttention block as one Pallas kernel.
+
+Round-3 profiling (perfetto trace of DDIM-50 bs256 on v5e, see
+docs/ROUND3_NOTES.md) shows the linear-attention sites cost ~39% of
+device time, with the two N=1024 outer-stage sites alone at 29% — almost
+entirely HBM traffic: the XLA path materializes qkv (201 MB at bs256
+N=1024), both softmaxes, the contraction intermediates, and layout
+copies around the second contraction, per site per sampling step.
+
+This kernel computes the WHOLE block per batch-tile in VMEM:
+
+    x ── RMSNorm(g1) ── @Wqkv ── per head h:
+           q_h = softmax_D(q_h)·scale
+           k_h = softmax_N([k_h ; mem_k_h])       (mem-KV slots included)
+           ctx_h = k_hᵀ(v incl. mem) / colsum
+           out_h = q_h @ ctx_h
+         ── concat heads ── @Wout + b ── RMSNorm(g2) ── (+residual) ── out
+
+HBM traffic per site: read x + write out (+ tiny weights) — 66 MB instead
+of ~800 MB at the N=1024 sites. All matmuls run on the MXU with f32
+accumulation; softmaxes in f32; intermediate casts match the jnp path
+(`ops/attention.linear_attention_bnhd`) so numerics agree to bf16
+rounding.
+
+Differences from round-2's `linear_attention.py` kernel (which measured
+SLOWER than XLA): programs span a batch tile × all heads (not one tiny
+(b,h) program), and the projections/norms/residual ride along, so the
+MXU has real work and the HBM savings include every intermediate, not
+just the softmax chain.
+
+MEASURED OUTCOME (round 3, flagship DDIM-50 bs256, v5e): routing every
+LinearAttention site through this kernel gave 351.0 samples/s vs
+414–427 for the pure-XLA path — a net LOSS despite the per-site HBM
+savings. Same failure mode as the fused-norm kernel: mid-graph
+`pallas_call`s pin their operand layouts and force copies elsewhere in
+the graph that exceed the traffic saved inside the block. Opt-in via
+`DMT_PALLAS_LINATTN=1` (or `LinearAttention(fused_block=True)`) for
+re-measurement on other shapes; interpret-mode parity tests keep it
+honest.
+
+Semantics: reference `denoising_diffusion.py:150-193` (LinearAttention
+with mem_kv), as reshaped by `models/unet.py::LinearAttention`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, g1_ref, wqkv_ref, mem_ref, wout_ref, bout_ref, g2_ref,
+            o_ref, *, heads: int, dim_head: int, scale: float, c: int,
+            interpret: bool = False):
+    f32 = jnp.float32
+    x = x_ref[...]                       # (BT, N, C) bf16/f32
+    bt, n, _ = x.shape
+    cdtype = x.dtype
+    # CPU interpret mode can't execute bf16×bf16→f32 dots (DotThunk
+    # limitation); upcast operands there. On TPU the MXU takes bf16 inputs
+    # with f32 accumulation natively.
+    ddtype = f32 if (interpret and cdtype == jnp.bfloat16) else cdtype
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(ddtype), b.astype(ddtype), dims,
+            preferred_element_type=f32,
+        )
+
+    # pre-norm (RMSNorm, f32 accumulation, gain pre-multiplied by sqrt(C))
+    x32 = x.astype(f32)
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(x32 * x32, -1, keepdims=True),
+                                    1e-24))
+    xn = (x32 * inv * g1_ref[...].astype(f32)).astype(cdtype)
+
+    # qkv projection: (BT·N, C) @ (C, 3·H·D)
+    qkv = dot(
+        xn.reshape(bt * n, c), wqkv_ref[...],
+        (((1,), (0,)), ((), ())),
+    ).astype(cdtype).reshape(bt, n, 3 * heads * dim_head)
+
+    hid = heads * dim_head
+    outs = []
+    for h in range(heads):
+        q = qkv[:, :, h * dim_head:(h + 1) * dim_head].astype(f32)
+        k = qkv[:, :, hid + h * dim_head:hid + (h + 1) * dim_head].astype(f32)
+        v = qkv[:, :, 2 * hid + h * dim_head:2 * hid + (h + 1) * dim_head]
+
+        # memory KV slots, reference (2, H, D, M) layout -> rows (M, D)
+        mem_k = mem_ref[0, h].astype(f32).T   # (M, D)
+        mem_v = mem_ref[1, h].T               # (M, D)
+
+        # q: softmax over the feature axis (per token)
+        q = q - jnp.max(q, axis=-1, keepdims=True)
+        q = jnp.exp(q)
+        q = (q / jnp.sum(q, axis=-1, keepdims=True)).astype(cdtype)
+
+        # k: softmax over tokens INCLUDING the M memory slots (per feature)
+        kmax = jnp.maximum(
+            jnp.max(k, axis=1, keepdims=True),          # (BT, 1, D)
+            jnp.max(mem_k, axis=0)[None, None, :],      # (1, 1, D)
+        )
+        ek = jnp.exp(k - kmax)                           # (BT, N, D)
+        emem = jnp.exp(mem_k[None] - kmax)               # (BT, M, D)
+        ksum = jnp.sum(ek, axis=1, keepdims=True) + jnp.sum(
+            emem, axis=1, keepdims=True
+        )                                                # (BT, 1, D)
+        ek = (ek / ksum).astype(cdtype)
+        emem = (emem / ksum).astype(cdtype)
+
+        # context = k'ᵀ v over tokens: (BT, D, D)
+        ctx = dot(ek, v, (((1,), (1,)), ((0,), (0,))))
+        ctx = ctx + dot(
+            emem, jnp.broadcast_to(mem_v[None], (bt,) + mem_v.shape),
+            (((1,), (1,)), ((0,), (0,))),
+        )
+        ctx = ctx.astype(cdtype)
+
+        # out_h = (q'·scale) @ ctx : (BT, N, D)
+        outs.append(dot(
+            q * jnp.asarray(scale, cdtype), ctx,
+            (((2,), (1,)), ((0,), (0,))),
+        ).astype(cdtype))
+
+    attn = jnp.concatenate(outs, axis=-1)                # (BT, N, H·D)
+
+    # output projection (1×1 conv): (BT·N, H·D) @ (H·D, C) + b; cast to the
+    # compute dtype BEFORE the out-norm, matching the jnp path where the
+    # conv emits bf16 and the norm re-reads it
+    out = (dot(
+        attn.reshape(bt * n, hid), wout_ref[...],
+        (((1,), (0,)), ((), ())),
+    ).reshape(bt, n, c) + bout_ref[...].astype(f32)).astype(cdtype)
+
+    # out-norm + residual (residual = the block input x, post-cast add)
+    o32 = out.astype(f32)
+    inv2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(o32 * o32, -1, keepdims=True),
+                                     1e-24))
+    o_ref[...] = (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
+
+
+def _batch_tile(b: int, n: int, c: int, heads: int, dim_head: int,
+                itemsize: int) -> int:
+    """Largest power-of-2 divisor of b keeping the block's VMEM live set
+    within budget. Accounting (empirical, Mosaic stack allocation): the
+    bf16 residents (x, qkv, attn, out ×2 for double-buffering) plus the
+    f32 dot outputs and per-head softmax temps come to roughly
+    `n·(4c + 8·hid)·itemsize + n·(3·hid + 6·dim_head)·4` per element;
+    budget 5 MB of the 16 MB scoped VMEM."""
+    hid = heads * dim_head
+    per_elem = (n * (4 * c + 8 * hid) * itemsize
+                + n * (3 * hid + 6 * dim_head) * 4)
+    bt = 1
+    while bt * 2 <= b and b % (bt * 2) == 0 and (bt * 2) * per_elem <= 5 << 20:
+        bt *= 2
+    return bt
+
+
+def linear_attention_block_reference(x, g1, wqkv, mem_kv, wout, bout, g2,
+                                     heads, dim_head, scale):
+    """Plain-jnp twin of the kernel — the exact composition the
+    `models/unet.py::LinearAttention` jnp path runs (pre-norm → qkv →
+    `linear_attention_bnhd` with mem-KV → 1×1 out conv → out-norm →
+    residual). Used as the CPU fallback and for the backward pass."""
+    from diffusion_models_tpu.ops.attention import linear_attention_bnhd
+
+    b, n, c = x.shape
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(x32 * x32, -1, keepdims=True),
+                                    1e-24))
+    xn = (x32 * inv * (g1.astype(f32) * c**0.5)).astype(x.dtype)
+    qkv = xn @ wqkv.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to_nhd = lambda t: t.reshape(b, n, heads, dim_head)
+    q, k, v = (to_nhd(t) for t in (q, k, v))
+    mem_nhd = mem_kv.astype(x.dtype).transpose(0, 3, 1, 2)  # (2, M, H, D)
+    mk = jnp.broadcast_to(mem_nhd[0], (b,) + mem_nhd[0].shape)
+    mv = jnp.broadcast_to(mem_nhd[1], (b,) + mem_nhd[1].shape)
+    k = jnp.concatenate([mk, k], axis=1)
+    v = jnp.concatenate([mv, v], axis=1)
+    out = linear_attention_bnhd(q, k, v, scale=scale)
+    out = out.reshape(b, n, heads * dim_head)
+    out = out @ wout.astype(x.dtype) + bout.astype(x.dtype)
+    o32 = out.astype(f32)
+    inv2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(o32 * o32, -1, keepdims=True),
+                                     1e-24))
+    return (o32 * inv2 * (g2.astype(f32) * c**0.5)).astype(x.dtype) + x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
+                            heads, dim_head, scale, interpret):
+    if interpret or jax.default_backend() == "tpu":
+        return _pallas_impl(x, g1, wqkv, mem_kv, wout, bout, g2,
+                            heads=heads, dim_head=dim_head, scale=scale,
+                            interpret=interpret)
+    return linear_attention_block_reference(
+        x, g1, wqkv, mem_kv, wout, bout, g2, heads, dim_head, scale)
+
+
+def _lab_fwd(x, g1, wqkv, mem_kv, wout, bout, g2, heads, dim_head, scale,
+             interpret):
+    out = _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
+                                  heads, dim_head, scale, interpret)
+    return out, (x, g1, wqkv, mem_kv, wout, bout, g2)
+
+
+def _lab_bwd(heads, dim_head, scale, interpret, saved, grad):
+    # recompute-backward through the jnp twin: the same FLOPs XLA autodiff
+    # would spend on the unfused path, so training cost is unchanged
+    _, vjp = jax.vjp(
+        lambda *a: linear_attention_block_reference(
+            *a, heads, dim_head, scale),
+        *saved,
+    )
+    return vjp(grad)
+
+
+_linear_attention_block.defvjp(_lab_fwd, _lab_bwd)
+
+
+def linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2, *,
+                           heads: int, dim_head: int, scale: float,
+                           interpret: bool = False):
+    """x: (B, N, C) tokens. Returns (B, N, C) = out_norm(to_out(linear_attn(
+    rmsnorm(x)))) + x. Weights: g1 (C,), wqkv (C, 3·H·D), mem_kv
+    (2, H, D, M), wout (H·D, C), bout (C,), g2 (C,). Runs the Pallas kernel
+    on TPU (or `interpret=True`), the jnp twin elsewhere; differentiable
+    via recompute-backward."""
+    return _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
+                                   heads, dim_head, scale, interpret)
+
+
+def _pallas_impl(x, g1, wqkv, mem_kv, wout, bout, g2, *,
+                 heads: int, dim_head: int, scale: float,
+                 interpret: bool = False):
+    b, n, c = x.shape
+    bt = _batch_tile(b, n, c, heads, dim_head, x.dtype.itemsize)
+    grid = (b // bt,)
+
+    big = pl.BlockSpec((bt, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    sqrtc = jnp.asarray(c**0.5, jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, dim_head=dim_head,
+                          scale=scale, c=c, interpret=interpret),
+        grid=grid,
+        in_specs=[
+            big,
+            const((1, 1, c)),
+            const((c, 3 * heads * dim_head)),
+            const(mem_kv.shape),
+            const((heads * dim_head, c)),
+            const((1, 1, c)),
+            const((1, 1, c)),
+        ],
+        out_specs=big,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        (g1 * sqrtc).reshape(1, 1, c),
+        wqkv.astype(x.dtype),
+        mem_kv.astype(x.dtype),
+        wout.astype(x.dtype),
+        bout.reshape(1, 1, c),
+        (g2 * sqrtc).reshape(1, 1, c),
+    )

@@ -1,0 +1,140 @@
+"""Tests for the whole-block fused LinearAttention Pallas kernel
+(`ops/pallas/linear_attn_block.py`).
+
+The kernel runs in Pallas interpret mode on the CPU test mesh; parity is
+checked against its plain-jnp twin `linear_attention_block_reference`,
+which is itself the exact composition the `models/unet.py::LinearAttention`
+jnp path runs (covered by the torch-oracle tests). Also asserts the
+three LinearAttention routes (fused / jnp) agree end-to-end through the
+Flax module with SHARED parameters, and that gradients flow through the
+recompute-backward VJP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_tpu.models.unet import LinearAttention
+from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+    _pallas_impl,
+    linear_attention_block,
+    linear_attention_block_reference,
+)
+
+
+def _make_weights(rng, c, heads, dim_head, dtype=jnp.float32):
+    hid = heads * dim_head
+    return dict(
+        g1=jnp.asarray(rng.standard_normal((c,)), jnp.float32),
+        wqkv=jnp.asarray(rng.standard_normal((c, 3 * hid)) * 0.05, jnp.float32),
+        mem_kv=jnp.asarray(rng.standard_normal((2, heads, dim_head, 4)),
+                           jnp.float32),
+        wout=jnp.asarray(rng.standard_normal((hid, c)) * 0.05, jnp.float32),
+        bout=jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32),
+        g2=jnp.asarray(rng.standard_normal((c,)), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize(
+    "b,n,c,heads,dim_head",
+    [
+        (2, 64, 32, 4, 16),
+        (3, 49, 48, 2, 32),   # odd batch -> bt=1, non-square N
+        (1, 256, 64, 4, 32),  # flagship-ish inner-stage shape
+    ],
+)
+def test_kernel_matches_reference_interpret(b, n, c, heads, dim_head):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    got = _pallas_impl(x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"],
+                       w["bout"], w["g2"], heads=heads, dim_head=dim_head,
+                       scale=dim_head**-0.5, interpret=True)
+    want = linear_attention_block_reference(
+        x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"], w["bout"], w["g2"],
+        heads, dim_head, dim_head**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_bf16_interpret():
+    rng = np.random.default_rng(1)
+    heads, dim_head, c = 4, 16, 32
+    x = jnp.asarray(rng.standard_normal((2, 64, c)), jnp.bfloat16)
+    w = _make_weights(rng, c, heads, dim_head)
+    got = _pallas_impl(x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"],
+                       w["bout"], w["g2"], heads=heads, dim_head=dim_head,
+                       scale=dim_head**-0.5, interpret=True)
+    # the jnp twin's bf16 dots can't execute on the CPU DotThunk either, so
+    # the oracle runs in f32 (tolerance covers the bf16 rounding)
+    want = linear_attention_block_reference(
+        x.astype(jnp.float32), w["g1"], w["wqkv"], w["mem_kv"], w["wout"],
+        w["bout"], w["g2"], heads, dim_head, dim_head**-0.5)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_vjp_matches_autodiff_of_reference():
+    rng = np.random.default_rng(2)
+    heads, dim_head, c = 2, 8, 16
+    x = jnp.asarray(rng.standard_normal((2, 16, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    names = ["g1", "wqkv", "mem_kv", "wout", "bout", "g2"]
+
+    def fused(x, *ws):
+        return jnp.sum(linear_attention_block(
+            x, *ws, heads=heads, dim_head=dim_head,
+            scale=dim_head**-0.5) ** 2)
+
+    def plain(x, *ws):
+        return jnp.sum(linear_attention_block_reference(
+            x, *ws, heads, dim_head, dim_head**-0.5) ** 2)
+
+    args = (x,) + tuple(w[k] for k in names)
+    got = jax.grad(fused, argnums=tuple(range(len(args))))(*args)
+    want = jax.grad(plain, argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_module_routes_agree_with_shared_params():
+    """`LinearAttention(fused_block=...)` both routes produce the same output
+    from the SAME param pytree (the raw-param holders replicate the previous
+    nn.Dense/nn.Conv/RMSNorm paths and shapes)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    mod_j = LinearAttention(dim=32, heads=4, dim_head=16, fused_block=False)
+    params = mod_j.init(jax.random.PRNGKey(0), x, residual=x)
+    out_jnp = mod_j.apply(params, x, residual=x)
+    # off-TPU the fused route falls back to the jnp twin — still exercises
+    # the routing + param plumbing with identical weights
+    mod_f = LinearAttention(dim=32, heads=4, dim_head=16, fused_block=True)
+    out_fused = mod_f.apply(params, x, residual=x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_jnp),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_param_tree_matches_pre_refactor_layout():
+    """Checkpoint compatibility: the raw-param holders must produce exactly
+    the collection paths the previous nn.Dense/nn.Conv/RMSNorm modules made
+    (`norm/g`, `to_qkv/kernel`, `mem_kv`, `to_out/{kernel,bias}`,
+    `out_norm/g`) with the same shapes."""
+    x = jnp.zeros((1, 8, 8, 32), jnp.float32)
+    mod = LinearAttention(dim=32, heads=4, dim_head=16)
+    params = mod.init(jax.random.PRNGKey(0), x, residual=x)["params"]
+    flat = {"/".join(k): v.shape for k, v in
+            jax.tree_util.tree_flatten_with_path(params)[0] and
+            [(tuple(p.key for p in kp), v) for kp, v in
+             jax.tree_util.tree_flatten_with_path(params)[0]]}
+    assert flat == {
+        "norm/g": (32,),
+        "to_qkv/kernel": (32, 3 * 4 * 16),
+        "mem_kv": (2, 4, 16, 4),
+        "to_out/kernel": (1, 1, 4 * 16, 32),
+        "to_out/bias": (32,),
+        "out_norm/g": (32,),
+    }
