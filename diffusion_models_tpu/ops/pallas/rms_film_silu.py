@@ -38,20 +38,20 @@ _PALLAS_NORM = os.environ.get("DMT_PALLAS_NORM", "0") == "1"
 
 def _kernel(x_ref, g_ref, s_ref, b_ref, r_ref, o_ref, *, film: bool,
             silu: bool, res: bool):
+    cdtype = o_ref.dtype
     x = x_ref[...].astype(jnp.float32)  # (BT, N, C)
     inv = jax.lax.rsqrt(
         jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24)
     )
-    out = x * inv * g_ref[...].astype(jnp.float32)  # g pre-scaled by sqrt(C)
+    # norm reduce+scale in f32, then the epilogue in the compute dtype —
+    # matches `_reference_impl` (and the pre-fusion modules) bit-for-bit
+    out = (x * inv * g_ref[...].astype(jnp.float32)).astype(cdtype)
     if film:
-        out = out * (s_ref[...].astype(jnp.float32) + 1.0)
-        out = out + b_ref[...].astype(jnp.float32)
+        out = out * (s_ref[...].astype(cdtype) + jnp.asarray(1.0, cdtype))
+        out = out + b_ref[...].astype(cdtype)
     if silu:
         out = out * jax.nn.sigmoid(out)
-    out = out.astype(o_ref.dtype)
     if res:
-        # post-cast add in the output dtype — bit-matches the unfused
-        # `cast(norm_out) + residual` the model previously emitted
         out = out + r_ref[...]
     o_ref[...] = out
 
@@ -143,14 +143,11 @@ def _reference_impl(x, g, scale, shift, residual, silu):
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _rms_film_silu(x, g, scale, shift, residual, silu):
-    # MEASURED (round 3, DDIM-50 bs256 flagship on v5e): routing every norm
-    # site through the Pallas kernel REGRESSED 426.7 → 248.8 samples/s —
-    # the mid-graph pallas_calls broke XLA's layout assignment (`copy` ops
-    # grew to 28% of device time) and the c=64 stages waste half the lane
-    # width. XLA's own fusion of this epilogue chain is faster, so the
-    # kernel is opt-in (DMT_PALLAS_NORM=1) and the default is the jnp
-    # expression, which XLA fuses into two passes with no layout damage.
-    if _PALLAS_NORM and jax.default_backend() == "tpu":
+    # Pallas-path entry ONLY (custom_vjp because XLA can't autodiff through
+    # pallas_call). The default jnp path must NOT route through this
+    # wrapper: a custom_vjp boundary blocks XLA's forward/backward fusion
+    # at every norm site, which measurably slows training.
+    if jax.default_backend() == "tpu":
         return _rms_film_silu_fwd_pallas(x, g, scale, shift, residual, silu)
     return _reference_impl(x, g, scale, shift, residual, silu)
 
@@ -195,6 +192,17 @@ def rms_film_silu(x, g, scale=None, shift=None, residual=None, *,
     vectors of shape (B, C), applied as `(scale + 1) * x + shift`
     (reference `denoising_diffusion.py:117-119`). `residual` is added after
     the final cast, matching the unfused `h + x`.
+
+    DEFAULT path: the plain expression, differentiated by XLA autodiff —
+    one fused fwd pass and full fwd/bwd fusion freedom. The Pallas kernel
+    (and the custom_vjp it requires) is opt-in via DMT_PALLAS_NORM=1; the
+    measured outcome on the flagship model is in the module docstring.
+    MEASURED (round 3): leaving every norm site behind the custom_vjp even
+    on the jnp path slowed the flagship TRAIN step ~8× (26 → 3.2 steps/s,
+    CFG bs64 steps_per_call=10) — the boundary blocks XLA's fwd/bwd fusion
+    and forces per-site rematerialization.
     """
     assert (scale is None) == (shift is None)
-    return _rms_film_silu(x, g, scale, shift, residual, silu)
+    if _PALLAS_NORM:
+        return _rms_film_silu(x, g, scale, shift, residual, silu)
+    return _reference_impl(x, g, scale, shift, residual, silu)

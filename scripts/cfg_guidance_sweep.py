@@ -51,7 +51,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="train/configs/cfg_color_classes.yaml")
     p.add_argument("--results_folder", default=None)
-    p.add_argument("--milestone", type=int, required=True)
+    p.add_argument("--milestone", type=int, default=None,
+                   help="default: highest saved milestone")
     p.add_argument("--scales", type=float, nargs="+",
                    default=[1.0, 2.0, 4.0, 6.0, 8.0])
     p.add_argument("--n_per_class", type=int, default=64)
@@ -92,8 +93,14 @@ def main():
     diffusion = build(args.scales[0])
     params_template = diffusion.init(jax.random.PRNGKey(0))
     ckpt = CheckpointManager(results)
+    milestone = args.milestone
+    if milestone is None:
+        ms = ckpt.milestones()
+        assert ms, f"no milestones in {results}"
+        milestone = max(ms)
+    print(f"sweeping milestone {milestone}")
     restored = ckpt.restore(
-        args.milestone,
+        milestone,
         {"step": jnp.zeros((), jnp.int32), "ema_params": params_template,
          "ema_step": jnp.zeros((), jnp.int32)},
         partial=True,

@@ -70,6 +70,35 @@ def test_matches_unfused_rmsnorm_math():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
 
 
+def test_pallas_route_custom_vjp_matches_autodiff(monkeypatch):
+    """The opt-in Pallas route's custom_vjp (DMT_PALLAS_NORM=1) produces the
+    same grads as XLA autodiff of the plain expression. The DEFAULT route
+    deliberately bypasses custom_vjp entirely — a custom_vjp boundary at
+    every norm site measured ~8× slower training (see module docstring)."""
+    import diffusion_models_tpu.ops.pallas.rms_film_silu as mod
+
+    monkeypatch.setattr(mod, "_PALLAS_NORM", True)
+    rng = np.random.default_rng(4)
+    b, h, w, c = 2, 4, 4, 16
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, c)), jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((b, c)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+
+    def fused(*a):
+        return jnp.sum(mod.rms_film_silu(*a, silu=True) ** 2)
+
+    def plain(*a):
+        return jnp.sum(_reference_impl(*a, silu=True) ** 2)
+
+    got = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(x, g, s, sh, r)
+    want = jax.grad(plain, argnums=(0, 1, 2, 3, 4))(x, g, s, sh, r)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5,
+                                   atol=1e-5)
+
+
 def test_custom_vjp_matches_autodiff():
     """Grads through the fused op == grads through the plain formula, for
     every input (x, gain, FiLM scale/shift, residual)."""
