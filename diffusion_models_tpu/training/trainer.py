@@ -436,7 +436,15 @@ class Trainer:
         """`params_only=True` restores params/EMA/step but re-initializes
         the optimizer state — required when the optimizer configuration
         changed since the checkpoint (e.g. a new lr schedule alters the
-        opt_state pytree structure, which a full restore rejects)."""
+        opt_state pytree structure, which a full restore rejects).
+
+        `milestone='latest'` resolves to the literal `model-latest`
+        directory when present (the `save_best_and_latest_only` layout),
+        else to the highest numeric milestone on disk."""
+        if milestone == "latest" and not self.ckpt.exists("latest"):
+            numeric = self.ckpt.milestones()
+            assert numeric, f"no checkpoints in {self.results_folder}"
+            milestone = max(numeric)
         if params_only:
             sd = self._state_dict()
             template = {k: sd[k] for k in

@@ -224,3 +224,20 @@ def test_lr_schedule_decays(tmp_path):
     sched_lr16 = 1e-3 / np.sqrt(max(1.0, 16 / 4.0))
     assert abs(sched_lr0 - 1e-3) < 1e-9
     assert abs(sched_lr16 - 5e-4) < 1e-9
+
+
+def test_load_latest_resolves_numeric_milestone(img_folder, tmp_path):
+    """load('latest') without a model-latest dir (no save_best_and_latest_only)
+    falls back to the highest numeric milestone — the `--resume latest` CLI
+    path."""
+    t1 = make_trainer(img_folder, tmp_path, train_num_steps=2,
+                      save_and_sample_every=1)
+    t1.train()  # saves model-1, model-2
+    t2 = make_trainer(img_folder, tmp_path, train_num_steps=4,
+                      save_and_sample_every=1)
+    t2.load("latest")
+    assert int(t2.state.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0]),
+    )
