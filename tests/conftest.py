@@ -24,4 +24,13 @@ jax.config.update("jax_threefry_partitionable", True)
 # XLA:CPU AOT reload on this host trips a machine-feature mismatch
 # (+prefer-no-scatter/-gather) that can abort the process.
 
+# XLA:CPU compile time dominates the suite on this 1-core host (most tests
+# compile a small U-Net program and run it once). Skip the expensive HLO
+# optimization passes — the programs are tiny, correctness is what's under
+# test, and numerics if anything get MORE literal. DMT_TEST_FULL_OPT=1
+# restores full optimization (e.g. to rule the fast path out when
+# debugging a numeric mismatch).
+if os.environ.get("DMT_TEST_FULL_OPT", "0") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
