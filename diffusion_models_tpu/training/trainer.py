@@ -187,6 +187,12 @@ class Trainer:
             )
         self.dataset = dataset
         self.folder = folder
+        # image batches travel host→device as uint8 (4× less transfer); the
+        # /255 runs on device inside the jitted step (`_denormalize_transport`)
+        # — bit-identical to host-side normalization. Datasets that don't
+        # implement the flag simply keep returning f32.
+        if hasattr(dataset, "uint8_transport"):
+            dataset.uint8_transport = True
         # multi-host: each process loads its disjoint shard of every global
         # batch (reference `split_batches=True` semantics, SURVEY.md §2.4)
         per_host_batch = train_batch_size
@@ -266,6 +272,20 @@ class Trainer:
 
     # ----------------------------------------------------------- train step
 
+    @staticmethod
+    def _denormalize_transport(batch):
+        """uint8-transport inverse: image leaves ride host→device as uint8
+        (4× less tunnel/PCIe traffic, see `utils/data.py::to_uint8_image`);
+        the /255 happens here, on device, inside the jitted step — the same
+        f32 division the loader used to do on host, so results are
+        bit-identical. Non-uint8 leaves (embeddings, class labels) pass
+        through untouched."""
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) / 255.0
+            if x.dtype == jnp.uint8 else x,
+            batch,
+        )
+
     def _loss_fn(self, params, rng, batch):
         img, cond = self.batch_to_args(batch)
         return self.diffusion.loss(params, rng, img, cond=cond, train=True)
@@ -275,6 +295,7 @@ class Trainer:
         tx = self.tx
 
         def step_fn(state: TrainState, batch, base_rng):
+            batch = self._denormalize_transport(batch)
             rng = jax.random.fold_in(base_rng, state.step)
             keys = jax.random.split(rng, accum)
 

@@ -123,6 +123,9 @@ class VAETrainer:
         self.train_ds = ImageFolderDataset(
             train_folder, self.image_size, augment_horizontal_flip=False
         )
+        # uint8 host→device transport; the [-1,1] rescale runs on device in
+        # the jitted step (see Trainer._denormalize_transport rationale)
+        self.train_ds.uint8_transport = True
         self.val_ds = (
             ImageFolderDataset(val_folder, self.image_size)
             if val_folder
@@ -200,6 +203,10 @@ class VAETrainer:
             return out
 
         def step_fn(state: VAETrainState, x, base_rng):
+            if x.dtype == jnp.uint8:
+                # uint8 transport: same f32 ops the host used to run
+                # ((u/255)*2-1), now on device
+                x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
             rng = jax.random.fold_in(base_rng, state.step)
             step_f = state.step.astype(jnp.float32)
 
@@ -282,8 +289,10 @@ class VAETrainer:
     # ------------------------------------------------------------ loop
 
     def next_batch(self):
-        batch = next(self.dl) * 2.0 - 1.0  # [-1,1] (train_VAE.py:33-37)
-        batch = batch.astype(np.float32)
+        batch = next(self.dl)
+        if batch.dtype != np.uint8:
+            # non-cached datasets deliver f32 [0,1]: rescale on host as before
+            batch = (batch * 2.0 - 1.0).astype(np.float32)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(
                 self.batch_sharding, batch

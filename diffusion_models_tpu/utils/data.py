@@ -98,8 +98,24 @@ def _load_transformed(
 _CACHE_LIMIT_BYTES = 4 << 30  # auto-cache datasets up to 4 GiB decoded
 
 
+def to_uint8_image(arr: np.ndarray) -> np.ndarray:
+    """Exact inverse of the loaders' `/255` normalization for uint8-origin
+    pixels: round-trips k/255 → k bit-perfectly. Used by the uint8-transport
+    path (see `uint8_transport` below) to compress already-normalized items
+    back to 1 byte/px before the host→device upload."""
+    return np.rint(arr * 255.0).astype(np.uint8)
+
+
 class ImageFolderDataset:
     """Recursive folder of images → float32 [0,1] HWC items.
+
+    `uint8_transport`: when set (the trainers set it), `get_batch` returns
+    image batches as uint8 0–255 instead of f32 [0,1] and the jitted train
+    step divides by 255 on device — 4× less host→device transfer for
+    byte-identical training (flip commutes with /255; the division is the
+    same f32 op either side). Item-level `get` ALWAYS returns normalized
+    f32 — the FID real-stats path and sampling-time conditioning rely on
+    that contract.
 
     For small datasets (≤4 GiB decoded, e.g. the 32×32 flagship set) the
     whole dataset is decoded ONCE into a uint8 RAM cache and batches are
@@ -126,6 +142,7 @@ class ImageFolderDataset:
         self.augment_horizontal_flip = augment_horizontal_flip
         self.convert_image_to = convert_image_to
 
+        self.uint8_transport = False
         self._cache: Optional[np.ndarray] = None
         self._cache_lock = threading.Lock()
         if cache_in_memory == "auto":
@@ -198,8 +215,11 @@ class ImageFolderDataset:
         parallel per-item decode path instead of a serial stack."""
         if not self._ensure_cache():
             return None
-        batch = self._cache[np.asarray(idxs, np.int64)].astype(np.float32)
-        batch /= 255.0
+        batch = self._cache[np.asarray(idxs, np.int64)]
+        if not self.uint8_transport:
+            batch = batch.astype(np.float32) / 255.0
+        else:
+            batch = batch.copy()  # cache rows must not be flipped in place
         if self.augment_horizontal_flip:
             flips = np.fromiter(
                 (r.random() < 0.5 for r in rngs), dtype=bool, count=len(rngs)
@@ -241,12 +261,22 @@ class ImageConditionalDataset:
                 return cand
         return self.target_folder / f"{prefix}_B.jpg"
 
+    uint8_transport = False
+
     def get(self, index: int, rng: Optional[np.random.Generator] = None):
         cond_path = self.cond_paths[index]
         load = lambda p: _load_transformed(
             p, self.image_size, rng, self.augment_horizontal_flip, "RGB"
         )
         return load(self._target_path(cond_path)), load(cond_path)
+
+    def get_batch(self, idxs, rngs):
+        pairs = [self.get(int(i), r) for i, r in zip(idxs, rngs)]
+        tgt = np.stack([p[0] for p in pairs])
+        cond = np.stack([p[1] for p in pairs])
+        if self.uint8_transport:
+            tgt, cond = to_uint8_image(tgt), to_uint8_image(cond)
+        return tgt, cond
 
 
 class ClassConditionalDataset(ImageFolderDataset):
@@ -344,6 +374,16 @@ class TextConditionalDataset:
 
     def __len__(self):
         return len(self.target_paths)
+
+    uint8_transport = False
+
+    def get_batch(self, idxs, rngs):
+        items = [self.get(int(i), r) for i, r in zip(idxs, rngs)]
+        tgt = np.stack([it[0] for it in items])
+        emb = np.stack([it[1] for it in items])
+        if self.uint8_transport:
+            tgt = to_uint8_image(tgt)
+        return tgt, emb
 
     def get(self, index: int, rng: Optional[np.random.Generator] = None):
         path = self.target_paths[index]

@@ -53,7 +53,9 @@ def main():
 
     mod = importlib.import_module(f"train.{args.entry}")
     cfg = load_config(args.config)
-    _, _, trainer = mod.build(cfg)
+    # entry build() signatures vary: (unet, diffusion, trainer) for the
+    # pixel families, (diffusion, trainer) for the LDM ones
+    trainer = mod.build(cfg)[-1]
 
     milestone = args.milestone
     if milestone is None:

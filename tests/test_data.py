@@ -121,3 +121,39 @@ def test_dataloader_sharding(image_folder):
         epoch = np.concatenate([next(gen), next(gen)])
         idx_sets.append(set(epoch.tolist()))
     assert idx_sets[0].isdisjoint(idx_sets[1])
+
+
+def test_uint8_transport_bit_identical(tmp_path):
+    """get_batch under uint8_transport returns uint8 whose on-device
+    normalization (x/255 in f32) reproduces the f32 path bit-for-bit,
+    including flips (flip commutes with /255)."""
+    from diffusion_models_tpu.utils.data import ImageFolderDataset
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)).save(
+            root / f"{i}.png"
+        )
+    ds_f32 = ImageFolderDataset(root, 16, augment_horizontal_flip=True)
+    ds_u8 = ImageFolderDataset(root, 16, augment_horizontal_flip=True)
+    ds_u8.uint8_transport = True
+
+    idxs = [0, 3, 5, 7]
+    rngs = [np.random.default_rng((7, i)) for i in idxs]
+    rngs2 = [np.random.default_rng((7, i)) for i in idxs]
+    a = ds_f32.get_batch(idxs, rngs)
+    b = ds_u8.get_batch(idxs, rngs2)
+    assert b.dtype == np.uint8
+    np.testing.assert_array_equal(a, b.astype(np.float32) / 255.0)
+    # item-level get must stay normalized f32 (FID real-stats contract)
+    assert ds_u8.get(0).dtype == np.float32
+
+
+def test_to_uint8_image_roundtrip_exact():
+    from diffusion_models_tpu.utils.data import to_uint8_image
+
+    u = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    f = u.astype(np.float32) / 255.0
+    np.testing.assert_array_equal(to_uint8_image(f), u)

@@ -76,9 +76,17 @@ def build(cfg):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="milestone to resume from (int, 'latest', "
+                             "'best', or 'preempt')")
     args = parser.parse_args()
     cfg = load_config(args.config)
     diffusion, trainer = build(cfg)
+    if args.resume is not None:
+        milestone = int(args.resume) if args.resume.isdigit() else args.resume
+        trainer.load(milestone)
+        print(f"resumed from milestone {milestone} "
+              f"at step {int(trainer.state.step)}")
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(trainer.state.params))
     print(f"Denoiser parameters: {n_params}")
     trainer.train()
