@@ -5,4 +5,7 @@ from diffusion_models_tpu.parallel.mesh import (
     data_parallel_shardings,
     fsdp_sharding_for,
     shard_params_fsdp,
+    make_mesh_2d,
+    tp_sharding_for,
+    shard_params_tp,
 )

@@ -104,3 +104,65 @@ def shard_params_fsdp(tree, mesh: Mesh, axis: str = "data",
     """Place a param pytree with `fsdp_sharding_for` shardings."""
     shardings = fsdp_sharding_for(tree, mesh, axis=axis, min_size=min_size)
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def make_mesh_2d(
+    model_parallel: int,
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """A 2-D `data × model` mesh: DP over the outer axis, tensor parallelism
+    over the inner one.
+
+    On real hardware the inner (fastest-varying) axis maps to physically
+    adjacent chips, so the per-layer TP collectives (all-gathers of
+    channel-sharded activations) ride the shortest ICI hops while the
+    once-per-step gradient all-reduce crosses the outer axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (
+        f"{n} devices not divisible by model_parallel={model_parallel}"
+    )
+    dev_array = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(dev_array, axis_names)
+
+
+def tp_sharding_for(tree, mesh: Mesh, axis: str = "model",
+                    min_size: int = 2**12):
+    """Megatron-style tensor-parallel shardings for a conv/dense param tree.
+
+    Shards each large kernel's output-feature dim (the trailing axis of both
+    HWIO conv kernels and dense kernels) over `axis`; falls back to the
+    input-feature dim (row parallelism) when the output dim doesn't divide,
+    and replicates biases/scales/small leaves. Given these weight shardings
+    alone, GSPMD propagates channel-sharded activations through each layer
+    and inserts the all-gathers/reduce-scatters where consumers need
+    replicated values — there is no hand-written collective anywhere in the
+    model code (vs the reference's externally-orchestrated NCCL DDP,
+    `denoising_diffusion.py:971-974`, which cannot split a single layer).
+    """
+    n = mesh.shape[axis]
+
+    def leaf_sharding(x):
+        if x.ndim < 2 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        for i in (x.ndim - 1, x.ndim - 2):  # output features, then input
+            if x.shape[i] % n == 0 and x.shape[i] >= n:
+                spec = [None] * x.ndim
+                spec[i] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)
+
+
+def shard_params_tp(tree, mesh: Mesh, axis: str = "model",
+                    min_size: int = 2**12):
+    """Place a param pytree with `tp_sharding_for` shardings."""
+    shardings = tp_sharding_for(tree, mesh, axis=axis, min_size=min_size)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -114,6 +114,7 @@ class Trainer:
         steps_per_call: int = 1,
         lr_schedule=None,
         lr_schedule_config: Optional[dict] = None,
+        param_sharding: str = "replicated",
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -224,15 +225,48 @@ class Trainer:
             ),
         )
 
-        # --- state
+        # --- state. `param_sharding` picks the parameter-placement strategy:
+        #   "replicated" — pure DP, params/opt/EMA live whole on every chip
+        #     (fastest for reference-sized ≤~100M-param denoisers);
+        #   "fsdp" — each large param split over the `data` axis, XLA inserts
+        #     all-gathers on use / reduce-scatters on grads;
+        #   "tp" — Megatron-style tensor parallelism over a `model` mesh axis
+        #     (requires a 2-D mesh from `make_mesh_2d`): kernels sharded on
+        #     their feature dims, activations channel-sharded through each
+        #     layer. Optimizer moments and the EMA inherit the param shardings
+        #     via GSPMD propagation through the jitted inits below.
+        assert param_sharding in ("replicated", "fsdp", "tp"), param_sharding
+        self.param_sharding = param_sharding
         params = self.diffusion.init(jax.random.PRNGKey(seed))
-        self.state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            opt_state=self.tx.init(params),
-            ema=ema_init(params),
-        )
-        self.state = jax.device_put(self.state, self.replicated)
+        if param_sharding == "replicated":
+            self.state = jax.device_put(
+                TrainState(
+                    step=jnp.zeros((), jnp.int32),
+                    params=params,
+                    opt_state=self.tx.init(params),
+                    ema=ema_init(params),
+                ),
+                self.replicated,
+            )
+        else:
+            if param_sharding == "fsdp":
+                from diffusion_models_tpu.parallel.mesh import shard_params_fsdp
+
+                params = shard_params_fsdp(params, self.mesh)
+            else:
+                from diffusion_models_tpu.parallel.mesh import shard_params_tp
+
+                assert "model" in self.mesh.axis_names, (
+                    "param_sharding='tp' needs a 2-D mesh with a 'model' "
+                    "axis — build it with parallel.mesh.make_mesh_2d"
+                )
+                params = shard_params_tp(params, self.mesh)
+            self.state = TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), self.replicated),
+                params=params,
+                opt_state=jax.jit(self.tx.init)(params),
+                ema=jax.jit(ema_init)(params),
+            )
         self._base_rng = jax.random.PRNGKey(seed + 1)
 
         self._train_step = self._build_train_step()

@@ -38,6 +38,8 @@ def main():
     p.add_argument("--num_samples", type=int, default=25)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--milestones", type=int, nargs="+", default=None,
+                   help="restrict the sweep to these milestones")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -102,7 +104,7 @@ def main():
         diffusion, args.trained_models_folder,
         cond_provider=cond_provider, num_samples=args.num_samples,
         num_fid_samples=args.num_fid_samples, batch_size=args.batch_size,
-        fid_scorer=fid_scorer,
+        fid_scorer=fid_scorer, milestones=args.milestones,
     )
 
 

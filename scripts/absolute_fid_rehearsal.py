@@ -62,11 +62,23 @@ SWEEPS = [
         ],
     },
     {
+        "results": "results/ldm_gray2color",
+        "cmd": [
+            "python", "sampling_ldm.py",
+            "--trained_models_folder", "results/ldm_gray2color",
+            "--config", "train/configs/ldm_image_conditional_gray2color.yaml",
+            "--mode", "image_cond",
+            "--condition_folder", "data/gray2color_32/condition",
+            "--images_folder", "data/gray2color_32/target",
+            "--ddim_sampling_timesteps", "50",
+        ],
+    },
+    {
         "results": "results/ddpm_gray2color",
         "cmd": [
             "python", "sampling_image_conditional.py",
             "--trained_models_folder", "results/ddpm_gray2color",
-            "--dataset_root", "data/gray2color_32",
+            "--images_folder", "data/gray2color_32",
             "--config", "train/configs/ddpm_image_conditional_gray2color.yaml",
             "--ddim_sampling_timesteps", "50",
         ],
@@ -76,7 +88,8 @@ SWEEPS = [
         "cmd": [
             "python", "sampling_text_conditional.py",
             "--trained_models_folder", "results/ddpm_text_colors",
-            "--dataset_root", "data/color_captions_32",
+            "--embedding_file", "data/color_captions_32/text_embeddings.pkl",
+            "--images_folder", "data/color_captions_32/target",
             "--config", "train/configs/ddpm_text_conditional_colors.yaml",
             "--ddim_sampling_timesteps", "50",
         ],
