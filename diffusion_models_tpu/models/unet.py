@@ -31,8 +31,7 @@ from flax import linen as nn
 
 from diffusion_models_tpu.ops.attention import (
     dot_product_attention,
-    linear_attention,
-    linear_attention_bnhd,
+    linear_attention_bnhd_memkv,
 )
 from diffusion_models_tpu.ops.pallas.rms_film_silu import rms_film_silu
 from diffusion_models_tpu.utils.helpers import cast_tuple, default, divisible_by, exists
@@ -312,8 +311,10 @@ class LinearAttention(nn.Module):
         pallas_call layout pins push the copies elsewhere in the graph).
         See docs/ROUND3_NOTES.md. Kept for re-measurement on other shapes.
       - `flash=True`: round-2 per-(b·h) Pallas contraction kernel.
-      - otherwise (DEFAULT): the jnp path (`linear_attention_bnhd`), which
-        XLA fuses — also the reference for parity tests.
+      - otherwise (DEFAULT): the jnp path (`linear_attention_bnhd_memkv`),
+        token-major with the memory-KV slots folded in analytically (no
+        token-axis concat, so k/v stay tile-aligned at N = H·W); XLA fuses
+        it — also the reference for parity tests.
     """
 
     dim: int
@@ -385,15 +386,16 @@ class LinearAttention(nn.Module):
             out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
         else:
             # token-major (B, N, H, D): head split is a free reshape, no
-            # layout copies of the big tensors (see linear_attention_bnhd)
+            # layout copies of the big tensors (see linear_attention_bnhd);
+            # the memory-KV slots are folded in analytically so the token
+            # axis stays at N = H·W (tile-aligned) instead of N+4 — the
+            # concat variant misaligns every downstream k/v tensor
             to_nhd = lambda t: t.reshape(b, n, self.heads, self.dim_head)
             q, k, v = (to_nhd(t) for t in (q, k, v))
             mem_nhd = mem_kv.transpose(0, 3, 1, 2)  # (2, M, H, D)
-            mk = jnp.broadcast_to(mem_nhd[0], (b,) + mem_nhd[0].shape)
-            mv = jnp.broadcast_to(mem_nhd[1], (b,) + mem_nhd[1].shape)
-            k = jnp.concatenate([mk, k], axis=1)
-            v = jnp.concatenate([mv, v], axis=1)
-            out = linear_attention_bnhd(q, k, v, scale=self.dim_head**-0.5)
+            out = linear_attention_bnhd_memkv(
+                q, k, v, mem_nhd[0], mem_nhd[1], scale=self.dim_head**-0.5
+            )
             out = out.reshape(b, h, w, hidden)
 
         # 1×1 output conv == matmul over the channel axis (+ bias)

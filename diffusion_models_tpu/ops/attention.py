@@ -104,3 +104,63 @@ def linear_attention_bnhd(
         "bnhd,bhde->bnhe", q_sm, context, preferred_element_type=jnp.float32
     ).astype(v.dtype)
     return out
+
+
+def linear_attention_bnhd_memkv(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mem_k: jnp.ndarray,
+    mem_v: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """`linear_attention_bnhd` with the learned memory-KV slots folded in
+    analytically instead of concatenated onto the token axis.
+
+    The reference prepends `num_mem_kv` learned tokens to k/v
+    (`denoising_diffusion.py:165,184`), which on TPU turns every k/v tensor
+    from N=H·W (a multiple of the (8, 128) tile) into N+4 — misaligning the
+    token axis of the largest tensors in the network and forcing relayout
+    copies around every linear-attention site. Linear attention is a sum
+    over tokens, so the memory tokens' contribution to the softmax
+    normalizer and to the k^T·v context can be added as a closed-form side
+    term instead: softmax over the union {mem, real} equals
+    exp(·−m)/(Z_real+Z_mem) with a shared max m. Same math as
+    concatenation (up to f32 re-association), no unaligned tensors.
+
+    q/k/v: (B, N, H, D); mem_k/mem_v: (M, H, D) — unbatched, broadcast-free.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    q32 = q.astype(jnp.float32)
+    q_sm = jnp.exp(q32 - jnp.max(q32, axis=-1, keepdims=True))
+    q_sm = (q_sm / jnp.sum(q_sm, axis=-1, keepdims=True)).astype(v.dtype)
+    q_sm = q_sm * scale
+
+    k32 = k.astype(jnp.float32)
+    mk32 = mem_k.astype(jnp.float32)
+    # shared stable max over the union of real and memory tokens
+    m = jnp.maximum(
+        jnp.max(k32, axis=1, keepdims=True),  # (B, 1, H, D)
+        jnp.max(mk32, axis=0)[None, None],  # (1, 1, H, D)
+    )
+    ek = jnp.exp(k32 - m)  # (B, N, H, D)
+    emk = jnp.exp(mk32[None] - m)  # (B, M, H, D)
+    z = jnp.sum(ek, axis=1, keepdims=True) + jnp.sum(emk, axis=1, keepdims=True)
+    k_sm = (ek / z).astype(v.dtype)
+    mem_sm = (emk / z).astype(v.dtype)
+
+    context = jnp.einsum(
+        "bnhd,bnhe->bhde", k_sm, v, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bmhd,mhe->bhde",
+        mem_sm,
+        mem_v.astype(v.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    context = context.astype(v.dtype)
+    out = jnp.einsum(
+        "bnhd,bhde->bnhe", q_sm, context, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out

@@ -83,6 +83,38 @@ def test_linear_attention_math_matches_torch_einsums():
     np.testing.assert_allclose(np.asarray(ours), expect, rtol=1e-4, atol=1e-5)
 
 
+def test_linear_attention_memkv_decomposition_matches_concat():
+    """The analytic memory-KV fold (`linear_attention_bnhd_memkv`, no
+    token-axis concat — keeps N tile-aligned on TPU) must equal the concat
+    formulation exactly (up to f32 re-association)."""
+    from diffusion_models_tpu.ops.attention import (
+        linear_attention_bnhd,
+        linear_attention_bnhd_memkv,
+    )
+
+    rs = np.random.RandomState(7)
+    b, n, h, d, m = 2, 32, 4, 16, 4
+    q = rs.randn(b, n, h, d).astype(np.float32)
+    k = rs.randn(b, n, h, d).astype(np.float32)
+    v = rs.randn(b, n, h, d).astype(np.float32)
+    mem_k = rs.randn(m, h, d).astype(np.float32)
+    mem_v = rs.randn(m, h, d).astype(np.float32)
+    scale = d**-0.5
+
+    ours = linear_attention_bnhd_memkv(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(mem_k), jnp.asarray(mem_v), scale=scale,
+    )
+
+    mk = np.broadcast_to(mem_k, (b, m, h, d))
+    k_cat = jnp.asarray(np.concatenate([mk, k], axis=1))
+    v_cat = jnp.asarray(np.concatenate([np.broadcast_to(mem_v, (b, m, h, d)), v], axis=1))
+    expect = linear_attention_bnhd(jnp.asarray(q), k_cat, v_cat, scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(expect), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_full_attention_matches_torch_sdpa():
     from diffusion_models_tpu.ops.attention import dot_product_attention
 
