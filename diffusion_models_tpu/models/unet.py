@@ -32,6 +32,7 @@ from flax import linen as nn
 from diffusion_models_tpu.ops.attention import (
     dot_product_attention,
     linear_attention_bnhd_memkv,
+    linear_attention_folded_memkv,
 )
 from diffusion_models_tpu.ops.pallas.rms_film_silu import rms_film_silu
 from diffusion_models_tpu.utils.helpers import cast_tuple, default, divisible_by, exists
@@ -384,10 +385,11 @@ class LinearAttention(nn.Module):
             v = jnp.concatenate([mv, v], axis=-1)
             out = fused_linear_attention(q, k, v, scale=self.dim_head**-0.5)
             out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
-        else:
-            # token-major (B, N, H, D): head split is a free reshape, no
-            # layout copies of the big tensors (see linear_attention_bnhd);
-            # the memory-KV slots are folded in analytically so the token
+        elif os.environ.get("DMT_LINATTN", "bnhd") == "bnhd":
+            # DEFAULT: token-major (B, N, H, D): head split is a free
+            # reshape, no layout copies of the big tensors (see
+            # linear_attention_bnhd); the memory-KV slots are folded in
+            # analytically so the token
             # axis stays at N = H·W (tile-aligned) instead of N+4 — the
             # concat variant misaligns every downstream k/v tensor
             to_nhd = lambda t: t.reshape(b, n, self.heads, self.dim_head)
@@ -395,6 +397,20 @@ class LinearAttention(nn.Module):
             mem_nhd = mem_kv.transpose(0, 3, 1, 2)  # (2, M, H, D)
             out = linear_attention_bnhd_memkv(
                 q, k, v, mem_nhd[0], mem_nhd[1], scale=self.dim_head**-0.5
+            )
+            out = out.reshape(b, h, w, hidden)
+        else:
+            # opt-in (DMT_LINATTN=folded) — every tensor stays (B, N, H·D)
+            # with a native 128-wide minor axis; per-head semantics restored
+            # by a block-diagonal context mask. Measured SLOWER than the
+            # bnhd path on-chip (349.7 vs 417.0 samples/s whole-model): the
+            # heads^2-redundant F×F context matmul costs more than the
+            # (H, D) tile padding it removes. Kept for parity-tested
+            # reference (see linear_attention_folded_memkv docstring).
+            mem_f = mem_kv.transpose(0, 3, 1, 2).reshape(2, -1, hidden)
+            out = linear_attention_folded_memkv(
+                q, k, v, mem_f[0], mem_f[1],
+                heads=self.heads, scale=self.dim_head**-0.5,
             )
             out = out.reshape(b, h, w, hidden)
 

@@ -14,6 +14,7 @@ for longer sequences.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def dot_product_attention(
@@ -162,5 +163,84 @@ def linear_attention_bnhd_memkv(
     context = context.astype(v.dtype)
     out = jnp.einsum(
         "bnhd,bhde->bnhe", q_sm, context, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out
+
+
+def linear_attention_folded_memkv(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mem_k: jnp.ndarray,
+    mem_v: jnp.ndarray,
+    heads: int,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Head-FOLDED linear attention with analytic memory-KV: every
+    materialized tensor is (B, N, F) or (B, F, F) with F = heads·dim_head.
+
+    Why: the per-head layout (B, N, H, D) = (·, ·, 4, 32) puts (H, D) in the
+    TPU's (8, 128)-tiled minor dims — an 8× tile-padding — which profiling
+    showed makes these sites run ~15× slower inside the full model than
+    standalone. Here the head axis is never materialized:
+
+      - q's per-head feature softmax uses segment reduces (reshape happens
+        only inside an XLA fusion, no padded tensor reaches HBM);
+      - the context is ONE (F × F) matmul per batch element — MXU-native
+        128×128 output instead of 16 tile-wasting 32×32 blocks — and the
+        cross-head terms are zeroed afterwards by a block-diagonal mask,
+        which restores exact per-head semantics (4× redundant MXU FLOPs,
+        but these contractions are bandwidth-, not FLOP-, limited);
+      - the output matmul consumes the masked context directly.
+
+    Same math as `linear_attention_bnhd_memkv` up to f32 re-association.
+    q/k/v: (B, N, F); mem_k/mem_v: (M, F); dim_head = F // heads.
+    """
+    b, n, f = q.shape
+    d = f // heads
+    if scale is None:
+        scale = d**-0.5
+
+    q32 = q.astype(jnp.float32)
+    # segment (per-head) softmax over the feature axis: the (B, N, H, D)
+    # view exists only inside the fused reduce, never in HBM
+    qh = q32.reshape(b, n, heads, d)
+    q_max = jnp.broadcast_to(
+        jnp.max(qh, axis=-1, keepdims=True), qh.shape
+    ).reshape(b, n, f)
+    eq = jnp.exp(q32 - q_max)
+    q_den = jnp.broadcast_to(
+        jnp.sum(eq.reshape(b, n, heads, d), axis=-1, keepdims=True), qh.shape
+    ).reshape(b, n, f)
+    q_sm = ((eq / q_den) * scale).astype(v.dtype)
+
+    # token softmax over the union {memory, real} — identical to the
+    # unfolded analytic fold; head structure is irrelevant to this axis
+    k32 = k.astype(jnp.float32)
+    mk32 = mem_k.astype(jnp.float32)
+    m = jnp.maximum(
+        jnp.max(k32, axis=1, keepdims=True), jnp.max(mk32, axis=0)[None, None]
+    )
+    ek = jnp.exp(k32 - m)
+    emk = jnp.exp(mk32[None] - m)
+    z = jnp.sum(ek, axis=1, keepdims=True) + jnp.sum(emk, axis=1, keepdims=True)
+    k_sm = (ek / z).astype(v.dtype)
+    mem_sm = (emk / z).astype(v.dtype)
+
+    context = jnp.einsum(
+        "bnf,bng->bfg", k_sm, v, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bmf,mg->bfg",
+        mem_sm,
+        mem_v.astype(v.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    # zero the cross-head blocks: restores exact per-head contraction
+    block_mask = jnp.asarray(
+        np.kron(np.eye(heads, dtype=np.float32), np.ones((d, d), np.float32))
+    )
+    context = (context * block_mask).astype(v.dtype)
+    out = jnp.einsum(
+        "bnf,bfg->bng", q_sm, context, preferred_element_type=jnp.float32
     ).astype(v.dtype)
     return out

@@ -115,6 +115,43 @@ def test_linear_attention_memkv_decomposition_matches_concat():
     )
 
 
+def test_linear_attention_folded_matches_per_head():
+    """The head-folded formulation (one F×F context matmul + block-diagonal
+    mask, 128-wide minor axis everywhere) must equal the per-head
+    decomposed path exactly (up to f32 re-association)."""
+    from diffusion_models_tpu.ops.attention import (
+        linear_attention_bnhd_memkv,
+        linear_attention_folded_memkv,
+    )
+
+    rs = np.random.RandomState(11)
+    b, n, h, d, m = 2, 32, 4, 16, 4
+    f = h * d
+    q = rs.randn(b, n, f).astype(np.float32)
+    k = rs.randn(b, n, f).astype(np.float32)
+    v = rs.randn(b, n, f).astype(np.float32)
+    mem_k = rs.randn(m, f).astype(np.float32)
+    mem_v = rs.randn(m, f).astype(np.float32)
+    scale = d**-0.5
+
+    ours = linear_attention_folded_memkv(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(mem_k), jnp.asarray(mem_v), heads=h, scale=scale,
+    )
+
+    per_head = linear_attention_bnhd_memkv(
+        jnp.asarray(q.reshape(b, n, h, d)),
+        jnp.asarray(k.reshape(b, n, h, d)),
+        jnp.asarray(v.reshape(b, n, h, d)),
+        jnp.asarray(mem_k.reshape(m, h, d)),
+        jnp.asarray(mem_v.reshape(m, h, d)),
+        scale=scale,
+    ).reshape(b, n, f)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(per_head), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_full_attention_matches_torch_sdpa():
     from diffusion_models_tpu.ops.attention import dot_product_attention
 
