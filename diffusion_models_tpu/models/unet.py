@@ -346,9 +346,12 @@ class LinearAttention(nn.Module):
         wout, bout = _Conv1x1Params(hidden, self.dim, name="to_out")()
         g2 = _Gain(self.dim, name="out_norm")()
 
+        env = os.environ.get("DMT_PALLAS_LINATTN")
         use_fused = self.fused_block
         if use_fused is None:
-            use_fused = os.environ.get("DMT_PALLAS_LINATTN", "0") == "1"
+            use_fused = env == "1"
+        elif env == "0":  # global kill switch, overrides the module flag
+            use_fused = False
         if use_fused and not self.flash and residual is x:
             from diffusion_models_tpu.ops.pallas.linear_attn_block import (
                 linear_attention_block,
@@ -548,6 +551,13 @@ class Unet(nn.Module):
     use_cross_attn: bool = False
     # route full-attention blocks through the Pallas flash kernel
     flash_attn: bool = False
+    # route LinearAttention blocks through the fused Pallas whole-block
+    # kernel (`ops/pallas/linear_attn_block.py`, head-folded v2). None =
+    # follow DMT_PALLAS_LINATTN (off unless =1). GaussianDiffusion clones
+    # the model with this set for its samplers (train=False): the kernel is
+    # +24% sampling throughput on v5e but its recompute-backward VJP costs
+    # ~5% on the train step, so it is on for inference only by default.
+    fused_attn_block: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -694,8 +704,14 @@ class Unet(nn.Module):
                 zip(in_out, full_attn, attn_heads, attn_dim_head)
             ):
                 is_last = ind >= (num_resolutions - 1)
-                attn_cls = partial(
-                    Attention if fa else LinearAttention, flash=self.flash_attn
+                attn_cls = (
+                    partial(Attention, flash=self.flash_attn)
+                    if fa
+                    else partial(
+                        LinearAttention,
+                        flash=self.flash_attn,
+                        fused_block=self.fused_attn_block,
+                    )
                 )
 
                 x = resnet(dim_in, name=f"down_{ind}_block1")(x, t, train=train)
@@ -740,8 +756,14 @@ class Unet(nn.Module):
             )
         ):
             is_last = ind == (num_resolutions - 1)
-            attn_cls = partial(
-                Attention if fa else LinearAttention, flash=self.flash_attn
+            attn_cls = (
+                partial(Attention, flash=self.flash_attn)
+                if fa
+                else partial(
+                    LinearAttention,
+                    flash=self.flash_attn,
+                    fused_block=self.fused_attn_block,
+                )
             )
 
             x = jnp.concatenate([x, hs.pop()], axis=-1)

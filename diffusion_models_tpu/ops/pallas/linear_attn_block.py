@@ -142,6 +142,123 @@ def _kernel(x_ref, g1_ref, wqkv_ref, mem_ref, wout_ref, bout_ref, g2_ref,
     o_ref[...] = (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
 
 
+def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
+               bout_ref, g2_ref, o_ref, *, heads: int, dim_head: int,
+               scale: float, c: int, interpret: bool = False):
+    """Head-FOLDED whole-block kernel: every tensor in the block is
+    (BT, N, F) or (F, F) with F = heads·dim_head = 128 — full 128-lane VPU
+    utilization and single MXU-native 128×128 contractions, vs the
+    per-head `_kernel` whose 32-wide lane slices waste 3/4 of the VPU and
+    whose (N,32)×(N,32) dots waste 15/16 of the MXU.
+
+    Per-head semantics are restored without materializing a head axis:
+      - q's per-head softmax: exp(q − rowmax(q)) uses the max over ALL F
+        lanes — a constant shift within each head's 32-lane segment, to
+        which softmax is invariant (guarded by an underflow floor) — and
+        the per-head normalizer comes from ONE matmul with a
+        block-diagonal ones matrix (per-head sums broadcast back to each
+        head's lanes);
+      - the (F, F) context matmul computes all head pairs and the
+        cross-head blocks are zeroed by a block-diagonal mask, restoring
+        the exact per-head contraction (4× redundant MXU FLOPs on a
+        bandwidth-bound op).
+
+    Same math as `linear_attention_folded_memkv` (parity-pinned against
+    the per-head path in tests/test_torch_parity.py) wrapped with the
+    block's pre-norm / projections / out-norm / residual.
+    """
+    f32 = jnp.float32
+    x = x_ref[...]                       # (BT, N, C)
+    bt, n, _ = x.shape
+    cdtype = x.dtype
+    ddtype = f32 if (interpret and cdtype == jnp.bfloat16) else cdtype
+    F = heads * dim_head
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(ddtype), b.astype(ddtype), dims,
+            preferred_element_type=f32,
+        )
+
+    # block-diagonal (F, F) head mask, built in-register
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0) // dim_head
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1) // dim_head
+    blockdiag = (row_h == col_h).astype(f32)
+
+    # pre-norm (RMSNorm, f32, gain pre-multiplied by sqrt(C))
+    x32 = x.astype(f32)
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(x32 * x32, -1, keepdims=True),
+                                    1e-24))
+    xn = (x32 * inv * g1_ref[...].astype(f32)).astype(cdtype)
+
+    # qkv projection: (BT·N, C) @ (C, 3F), then tile-aligned lane splits
+    qkv = dot(
+        xn.reshape(bt * n, c), wqkv_ref[...], (((1,), (0,)), ((), ())),
+    ).astype(cdtype).reshape(bt, n, 3 * F)
+    q = qkv[:, :, :F].astype(f32)
+    k = qkv[:, :, F:2 * F].astype(f32)
+    v = qkv[:, :, 2 * F:]
+
+    # q: per-head softmax over features via global row max (shift-invariant
+    # within each head) + block-diag-ones matmul for the per-head sums
+    e = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))          # (BT,N,F)
+    s = dot(e, jnp.broadcast_to(blockdiag, (bt, F, F)),
+            (((2,), (1,)), ((0,), (0,))))                        # (BT,N,F)
+    q_sm = ((e / jnp.maximum(s, 1e-30)) * jnp.asarray(scale, f32)).astype(
+        cdtype)
+
+    # k: softmax over tokens INCLUDING the M memory slots (exact per-lane)
+    mk = memk_ref[...].astype(f32)                               # (M, F)
+    mv = memv_ref[...]                                           # (M, F)
+    kmax = jnp.maximum(jnp.max(k, axis=1, keepdims=True),
+                       jnp.max(mk, axis=0)[None, None, :])       # (BT,1,F)
+    ek = jnp.exp(k - kmax)                                       # (BT,N,F)
+    emem = jnp.exp(mk[None] - kmax)                              # (BT,M,F)
+    z = jnp.sum(ek, axis=1, keepdims=True) + jnp.sum(
+        emem, axis=1, keepdims=True)
+    k_sm = (ek / z).astype(cdtype)
+    mem_sm = (emem / z).astype(cdtype)
+
+    # context: ONE (F, F) matmul per batch element + mem side term, then
+    # zero the cross-head blocks
+    ctx = dot(k_sm, v, (((1,), (1,)), ((0,), (0,))))             # (BT,F,F)
+    ctx = ctx + dot(
+        mem_sm, jnp.broadcast_to(mv[None], (bt,) + mv.shape),
+        (((1,), (1,)), ((0,), (0,))),
+    )
+    ctx = (ctx * blockdiag[None]).astype(cdtype)
+
+    # out = q' @ ctx : (BT, N, F), then output projection + bias
+    attn = dot(q_sm, ctx, (((2,), (1,)), ((0,), (0,)))).astype(cdtype)
+    out = (dot(
+        attn.reshape(bt * n, F), wout_ref[...], (((1,), (0,)), ((), ())),
+    ).reshape(bt, n, c) + bout_ref[...].astype(f32)).astype(cdtype)
+
+    # out-norm + residual
+    o32 = out.astype(f32)
+    inv2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(o32 * o32, -1, keepdims=True),
+                                     1e-24))
+    o_ref[...] = (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
+
+
+import os
+
+
+def _batch_tile_v2(b: int, n: int, c: int, F: int, itemsize: int) -> int:
+    """Batch tile for the folded kernel. Live set per batch element
+    (empirical, dominated by the f32 softmax temps and the bf16 qkv):
+    roughly n·(2c + 6F)·itemsize + n·5F·4 bytes. Budget is tunable via
+    DMT_LAB_BUDGET_MB (default 6): small sites (N=256, c=128) are
+    DMA-latency-bound at bt=1, so larger tiles amortize grid-step
+    overhead; the N=1024 sites barely fit bt=1 at 6 MB."""
+    budget = int(os.environ.get("DMT_LAB_BUDGET_MB", "24")) << 20
+    per_elem = n * (2 * c + 6 * F) * itemsize + n * 5 * F * 4
+    bt = 1
+    while bt * 2 <= b and b % (bt * 2) == 0 and (bt * 2) * per_elem <= budget:
+        bt *= 2
+    return bt
+
+
 def _batch_tile(b: int, n: int, c: int, heads: int, dim_head: int,
                 itemsize: int) -> int:
     """Largest power-of-2 divisor of b keeping the block's VMEM live set
@@ -191,25 +308,26 @@ def linear_attention_block_reference(x, g1, wqkv, mem_kv, wout, bout, g2,
     return (o32 * inv2 * (g2.astype(f32) * c**0.5)).astype(x.dtype) + x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
-                            heads, dim_head, scale, interpret):
+                            heads, dim_head, scale, interpret, version):
     if interpret or jax.default_backend() == "tpu":
-        return _pallas_impl(x, g1, wqkv, mem_kv, wout, bout, g2,
-                            heads=heads, dim_head=dim_head, scale=scale,
-                            interpret=interpret)
+        impl = _pallas_impl_v2 if version == 2 else _pallas_impl
+        return impl(x, g1, wqkv, mem_kv, wout, bout, g2,
+                    heads=heads, dim_head=dim_head, scale=scale,
+                    interpret=interpret)
     return linear_attention_block_reference(
         x, g1, wqkv, mem_kv, wout, bout, g2, heads, dim_head, scale)
 
 
 def _lab_fwd(x, g1, wqkv, mem_kv, wout, bout, g2, heads, dim_head, scale,
-             interpret):
+             interpret, version):
     out = _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
-                                  heads, dim_head, scale, interpret)
+                                  heads, dim_head, scale, interpret, version)
     return out, (x, g1, wqkv, mem_kv, wout, bout, g2)
 
 
-def _lab_bwd(heads, dim_head, scale, interpret, saved, grad):
+def _lab_bwd(heads, dim_head, scale, interpret, version, saved, grad):
     # recompute-backward through the jnp twin: the same FLOPs XLA autodiff
     # would spend on the unfused path, so training cost is unchanged
     _, vjp = jax.vjp(
@@ -225,14 +343,61 @@ _linear_attention_block.defvjp(_lab_fwd, _lab_bwd)
 
 def linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2, *,
                            heads: int, dim_head: int, scale: float,
-                           interpret: bool = False):
+                           interpret: bool = False, version: int = 2):
     """x: (B, N, C) tokens. Returns (B, N, C) = out_norm(to_out(linear_attn(
     rmsnorm(x)))) + x. Weights: g1 (C,), wqkv (C, 3·H·D), mem_kv
     (2, H, D, M), wout (H·D, C), bout (C,), g2 (C,). Runs the Pallas kernel
     on TPU (or `interpret=True`), the jnp twin elsewhere; differentiable
-    via recompute-backward."""
+    via recompute-backward. `version=2` (default) is the head-folded
+    full-lane kernel; `version=1` the per-head original."""
     return _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
-                                   heads, dim_head, scale, interpret)
+                                   heads, dim_head, scale, interpret, version)
+
+
+def _pallas_impl_v2(x, g1, wqkv, mem_kv, wout, bout, g2, *,
+                    heads: int, dim_head: int, scale: float,
+                    interpret: bool = False):
+    b, n, c = x.shape
+    F = heads * dim_head
+    bt = _batch_tile_v2(b, n, c, F, x.dtype.itemsize)
+    grid = (b // bt,)
+
+    big = pl.BlockSpec((bt, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    sqrtc = jnp.asarray(c**0.5, jnp.float32)
+    # memory-KV rows in folded (M, F) layout, F index = h·dim_head + d
+    mem_rows = mem_kv.astype(x.dtype).transpose(0, 3, 1, 2).reshape(
+        2, mem_kv.shape[3], F)
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, heads=heads, dim_head=dim_head,
+                          scale=scale, c=c, interpret=interpret),
+        grid=grid,
+        in_specs=[
+            big,
+            const((1, 1, c)),
+            const((c, 3 * F)),
+            const((mem_kv.shape[3], F)),
+            const((mem_kv.shape[3], F)),
+            const((F, c)),
+            const((1, 1, c)),
+            const((1, 1, c)),
+        ],
+        out_specs=big,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        (g1 * sqrtc).reshape(1, 1, c),
+        wqkv.astype(x.dtype),
+        mem_rows[0],
+        mem_rows[1],
+        wout.astype(x.dtype),
+        bout.reshape(1, 1, c),
+        (g2 * sqrtc).reshape(1, 1, c),
+    )
 
 
 def _pallas_impl(x, g1, wqkv, mem_kv, wout, bout, g2, *,

@@ -18,6 +18,7 @@ import pytest
 from diffusion_models_tpu.models.unet import LinearAttention
 from diffusion_models_tpu.ops.pallas.linear_attn_block import (
     _pallas_impl,
+    _pallas_impl_v2,
     linear_attention_block,
     linear_attention_block_reference,
 )
@@ -51,6 +52,31 @@ def test_kernel_matches_reference_interpret(b, n, c, heads, dim_head):
     got = _pallas_impl(x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"],
                        w["bout"], w["g2"], heads=heads, dim_head=dim_head,
                        scale=dim_head**-0.5, interpret=True)
+    want = linear_attention_block_reference(
+        x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"], w["bout"], w["g2"],
+        heads, dim_head, dim_head**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "b,n,c,heads,dim_head",
+    [
+        (2, 64, 32, 4, 16),
+        (3, 49, 48, 2, 32),   # odd batch -> bt=1, non-square N
+        (1, 256, 64, 4, 32),  # flagship-ish outer-stage shape (F=128)
+    ],
+)
+def test_kernel_v2_matches_reference_interpret(b, n, c, heads, dim_head):
+    """The head-folded full-lane kernel must equal the same jnp twin as v1
+    (global-row-max q softmax is shift-invariant within each head; the
+    block-diagonal context mask restores exact per-head contractions)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    got = _pallas_impl_v2(x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"],
+                          w["bout"], w["g2"], heads=heads, dim_head=dim_head,
+                          scale=dim_head**-0.5, interpret=True)
     want = linear_attention_block_reference(
         x, w["g1"], w["wqkv"], w["mem_kv"], w["wout"], w["bout"], w["g2"],
         heads, dim_head, dim_head**-0.5)
