@@ -323,3 +323,39 @@ def test_hybrid_loss_matches_reference_reduction():
 
     expect = float((loss_vec + 0.001 * kl_scalar).mean())
     np.testing.assert_allclose(got, expect, rtol=2e-5)
+
+
+def test_eval_model_routing_preserves_params_and_train_path():
+    """`_model_for` must (a) return `self.model` unchanged for training,
+    (b) hand inference a module with an IDENTICAL param tree (the
+    `fused_attn_block` clone only changes op routing, never parameters),
+    and (c) respect the DMT_PALLAS_LINATTN=0 kill switch. On the CPU test
+    backend the clone never happens (TPU-only routing), so also pin the
+    clone behavior explicitly."""
+    import os
+
+    from diffusion_models_tpu.models.unet import Unet
+
+    model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+    diff = GaussianDiffusion(model, image_size=8, timesteps=10,
+                              beta_schedule="cosine")
+    assert diff._model_for(train=True) is model
+
+    eval_model = diff._model_for(train=False)
+    # CPU backend: no clone; TPU: clone with the flag set
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "DMT_PALLAS_LINATTN"
+    ) != "0":
+        assert eval_model.fused_attn_block is True
+    else:
+        assert eval_model is model
+
+    # the clone (whether taken or not) must not change the param tree
+    cloned = model.clone(fused_attn_block=True)
+    p1 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                    jnp.zeros((1,), jnp.int32))
+    p2 = cloned.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                     jnp.zeros((1,), jnp.int32))
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
