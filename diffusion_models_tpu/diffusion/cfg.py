@@ -67,6 +67,9 @@ class CFGUnet(nn.Module):
     attn_dim_head: int = 32
     attn_heads: int = 4
     dropout: float = 0.0
+    # thread-through to LinearAttention's fused Pallas block (see
+    # models/unet.py::Unet.fused_attn_block); set by route_for_inference
+    fused_attn_block: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -155,8 +158,9 @@ class CFGUnet(nn.Module):
             x = resnet(dim_in, name=f"down_{ind}_block2")(x, tc, train=train)
             x = LinearAttention(
                 dim_in, heads=self.attn_heads, dim_head=self.attn_dim_head,
+                fused_block=self.fused_attn_block,
                 dtype=self.dtype, name=f"down_{ind}_attn",
-            )(x) + x
+            )(x, residual=x)
             hs.append(x)
             if not is_last:
                 x = Downsample(dim_out, dtype=self.dtype, name=f"down_{ind}_down")(x)
@@ -180,8 +184,9 @@ class CFGUnet(nn.Module):
             x = resnet(dim_out, name=f"up_{ind}_block2")(x, tc, train=train)
             x = LinearAttention(
                 dim_out, heads=self.attn_heads, dim_head=self.attn_dim_head,
+                fused_block=self.fused_attn_block,
                 dtype=self.dtype, name=f"up_{ind}_attn",
-            )(x) + x
+            )(x, residual=x)
             if not is_last:
                 x = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_up")(x)
             else:
@@ -250,7 +255,7 @@ class CFGGaussianDiffusion(GaussianDiffusion):
         drop2 = jnp.concatenate(
             [jnp.zeros((b, 1)), jnp.ones((b, 1))], axis=0
         )
-        out2 = self.model.apply(
+        out2 = self._model_for(train=False).apply(
             {"params": params}, x2, t2, classes2, cond_drop_prob=drop2
         ).astype(jnp.float32)
         logits, null_logits = out2[:b], out2[b:]

@@ -177,9 +177,21 @@ class ContinuousTimeGaussianDiffusion:
 
     def _model(self, params, x, batch_log_snr, *, train=False, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
-        return self.model.apply(
+        mdl = self.model if train else self._eval_model()
+        return mdl.apply(
             {"params": params["model"]}, x, batch_log_snr, train=train, rngs=rngs
         ).astype(jnp.float32)
+
+    def _eval_model(self):
+        # inference routing (fused Pallas LinearAttention on TPU; same
+        # params; see diffusion/gaussian.py::route_for_inference)
+        if getattr(self, "_eval_model_cache", None) is None:
+            from diffusion_models_tpu.diffusion.gaussian import (
+                route_for_inference,
+            )
+
+            self._eval_model_cache = route_for_inference(self.model)
+        return self._eval_model_cache
 
     # -------------------------------------------------------------- sampling
 

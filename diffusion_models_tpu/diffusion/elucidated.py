@@ -57,6 +57,7 @@ class ElucidatedDiffusion:
         ), "EDM conditions on continuous log-σ: use learned/random sinusoidal time embedding"
         self.net = net
         self.model = net  # Trainer-facing alias (same contract as GaussianDiffusion)
+        self._eval_net = None  # lazily route_for_inference(net)
         self.self_condition = getattr(net, "self_condition", False)
         self.channels = channels
         self.image_size = (
@@ -108,7 +109,19 @@ class ElucidatedDiffusion:
         padded = sigma[:, None, None, None]
 
         rngs = {"dropout": rng} if rng is not None else None
-        net_out = self.net.apply(
+        if train:
+            net = self.net
+        else:
+            # fused Pallas LinearAttention routing for the samplers (same
+            # params; see diffusion/gaussian.py::route_for_inference)
+            if self._eval_net is None:
+                from diffusion_models_tpu.diffusion.gaussian import (
+                    route_for_inference,
+                )
+
+                self._eval_net = route_for_inference(self.net)
+            net = self._eval_net
+        net_out = net.apply(
             {"params": params},
             self.c_in(padded) * noised_images,
             self.c_noise(sigma),

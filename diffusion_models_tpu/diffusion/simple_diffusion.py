@@ -115,7 +115,18 @@ class SimpleDiffusion:
 
     def _model(self, params, x, batch_log_snr, *, train=False, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
-        return self.model.apply(
+        # route_for_inference is a no-op for UViT (no fused_attn_block
+        # field) but keeps the routing contract uniform across families
+        mdl = self.model
+        if not train:
+            if getattr(self, "_eval_model_cache", None) is None:
+                from diffusion_models_tpu.diffusion.gaussian import (
+                    route_for_inference,
+                )
+
+                self._eval_model_cache = route_for_inference(self.model)
+            mdl = self._eval_model_cache
+        return mdl.apply(
             {"params": params}, x, batch_log_snr, train=train, rngs=rngs
         ).astype(jnp.float32)
 

@@ -45,6 +45,7 @@ with mem_kv), as reshaped by `models/unet.py::LinearAttention`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -152,12 +153,10 @@ def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     whose (N,32)×(N,32) dots waste 15/16 of the MXU.
 
     Per-head semantics are restored without materializing a head axis:
-      - q's per-head softmax: exp(q − rowmax(q)) uses the max over ALL F
-        lanes — a constant shift within each head's 32-lane segment, to
-        which softmax is invariant (guarded by an underflow floor) — and
-        the per-head normalizer comes from ONE matmul with a
-        block-diagonal ones matrix (per-head sums broadcast back to each
-        head's lanes);
+      - q's per-head softmax: the stabilizing max is an exact per-head
+        reduce (the one sub-128-lane op in the kernel), and the per-head
+        normalizer comes from ONE matmul with a block-diagonal ones
+        matrix (per-head sums broadcast back to each head's lanes);
       - the (F, F) context matmul computes all head pairs and the
         cross-head blocks are zeroed by a block-diagonal mask, restoring
         the exact per-head contraction (4× redundant MXU FLOPs on a
@@ -199,13 +198,30 @@ def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     k = qkv[:, :, F:2 * F].astype(f32)
     v = qkv[:, :, 2 * F:]
 
-    # q: per-head softmax over features via global row max (shift-invariant
-    # within each head) + block-diag-ones matmul for the per-head sums
-    e = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))          # (BT,N,F)
+    # q: per-head softmax over features. The stabilizing max is computed
+    # per head (4 static lane slices — the ONLY sub-128-lane ops in the
+    # kernel; cheap because it is one reduce, not the whole chain), so a
+    # head whose q values sit far below another head's max cannot
+    # underflow to zero the way a global row max would let it. Everything
+    # downstream stays full-lane: the per-head sums come from one
+    # block-diagonal-ones matmul, and s >= exp(0) = 1 by construction.
+    mh = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.max(
+                    q[:, :, h * dim_head:(h + 1) * dim_head],
+                    axis=-1, keepdims=True,
+                ),
+                (bt, n, dim_head),
+            )
+            for h in range(heads)
+        ],
+        axis=-1,
+    )                                                            # (BT,N,F)
+    e = jnp.exp(q - mh)                                          # (BT,N,F)
     s = dot(e, jnp.broadcast_to(blockdiag, (bt, F, F)),
             (((2,), (1,)), ((0,), (0,))))                        # (BT,N,F)
-    q_sm = ((e / jnp.maximum(s, 1e-30)) * jnp.asarray(scale, f32)).astype(
-        cdtype)
+    q_sm = ((e / s) * jnp.asarray(scale, f32)).astype(cdtype)
 
     # k: softmax over tokens INCLUDING the M memory slots (exact per-lane)
     mk = memk_ref[...].astype(f32)                               # (M, F)
@@ -241,16 +257,15 @@ def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     o_ref[...] = (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
 
 
-import os
-
-
 def _batch_tile_v2(b: int, n: int, c: int, F: int, itemsize: int) -> int:
     """Batch tile for the folded kernel. Live set per batch element
     (empirical, dominated by the f32 softmax temps and the bf16 qkv):
     roughly n·(2c + 6F)·itemsize + n·5F·4 bytes. Budget is tunable via
-    DMT_LAB_BUDGET_MB (default 6): small sites (N=256, c=128) are
-    DMA-latency-bound at bt=1, so larger tiles amortize grid-step
-    overhead; the N=1024 sites barely fit bt=1 at 6 MB."""
+    DMT_LAB_BUDGET_MB (default 24 — an over-estimate that lands ≈15 MB of
+    actual Mosaic stack allocation, just under the 16 MB scoped-VMEM
+    limit; measured best on v5e). Larger tiles matter twice: the N=1024
+    sites gain MXU occupancy (bt=4), and the small sites (N=256, c=128)
+    are grid-step-latency-bound at bt=1."""
     budget = int(os.environ.get("DMT_LAB_BUDGET_MB", "24")) << 20
     per_elem = n * (2 * c + 6 * F) * itemsize + n * 5 * F * 4
     bt = 1

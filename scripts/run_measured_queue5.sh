@@ -28,7 +28,7 @@ timeout 14400 python train/train_ddpm.py \
     --config train/configs/ddpm_natural32.yaml --resume preempt \
   && timeout 7200 $RESCORE --entry train_ddpm \
        --config train/configs/ddpm_natural32.yaml
-for K in 2 3; do
+for K in 1 2 3; do
   timeout 3600 python sampling.py \
     --trained_models_folder results/ddpm_natural32 \
     --config train/configs/ddpm_natural32.yaml \
@@ -43,8 +43,8 @@ timeout 10800 python train/train_ddpm.py --config train/configs/edm_natural32.ya
   && timeout 7200 $RESCORE --entry train_ddpm --config train/configs/edm_natural32.yaml
 
 # 3. First stage (VQ-GAN on natural32) then unconditional LDM 20k + rescore
-timeout 10800 python train/train_VAE.py --config train/configs/VAE_natural32.yaml
-timeout 10800 python train/train_ldm.py --config train/configs/ldm_natural32.yaml \
+timeout 10800 python train/train_VAE.py --config train/configs/VAE_natural32.yaml \
+  && timeout 10800 python train/train_ldm.py --config train/configs/ldm_natural32.yaml \
   && timeout 7200 $RESCORE --entry train_ldm --config train/configs/ldm_natural32.yaml
 
 # 4. Image-conditional DDPM (gray->color) 20k + rescore
