@@ -266,10 +266,10 @@ def _batch_tile_v2(b: int, n: int, c: int, F: int, itemsize: int) -> int:
     limit; measured best on v5e). Larger tiles matter twice: the N=1024
     sites gain MXU occupancy (bt=4), and the small sites (N=256, c=128)
     are grid-step-latency-bound at bt=1."""
-    budget = int(os.environ.get("DMT_LAB_BUDGET_MB", "24")) << 20
-    per_elem = n * (2 * c + 6 * F) * itemsize + n * 5 * F * 4
+    budget = int(os.environ.get("DMT_LAB_BUDGET_MB", "20")) << 20
+    per_elem = n * (2 * c + 6 * F) * itemsize + n * 6 * F * 4
     bt = 1
-    while bt * 2 <= b and b % (bt * 2) == 0 and (bt * 2) * per_elem <= budget:
+    while bt * 2 <= b and b % (bt * 2) == 0 and (bt * 2) * per_elem < budget:
         bt *= 2
     return bt
 
