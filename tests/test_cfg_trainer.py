@@ -116,3 +116,33 @@ def test_training_params_records_beta_schedule(class_folder, tmp_path):
     )
     assert dumped["beta_schedule"] == "cosine"  # CFG default
     assert dumped["objective"] == "pred_noise"
+
+
+def test_cfg_unet_fused_route_matches_jnp_with_shared_params():
+    """CFGUnet(fused_attn_block=True) must produce the same output as the
+    default route from the SAME param tree (off-TPU the fused route falls
+    back to the jnp twin, exercising the thread-through + the residual=x
+    call-style change against the previous external `+ x`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_models_tpu.diffusion.cfg import CFGUnet
+
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    classes = jnp.asarray([0, 1], jnp.int32)
+    mod = CFGUnet(dim=16, num_classes=4, dim_mults=(1, 2), cond_drop_prob=0.0)
+    params = mod.init(
+        {"params": jax.random.PRNGKey(0), "cond_drop": jax.random.PRNGKey(1)},
+        x, t, classes,
+    )["params"]
+    out_default = mod.apply({"params": params}, x, t, classes)
+    out_fused = CFGUnet(
+        dim=16, num_classes=4, dim_mults=(1, 2), cond_drop_prob=0.0,
+        fused_attn_block=True,
+    ).apply({"params": params}, x, t, classes)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_default), rtol=2e-5, atol=2e-5
+    )
