@@ -257,6 +257,162 @@ def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     o_ref[...] = (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
 
 
+def _kernel_v2_bwd(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
+                   bout_ref, g2_ref, gy_ref, dx_ref, dg1_ref, dwqkv_ref,
+                   dmemk_ref, dmemv_ref, dwout_ref, dbout_ref, dg2_ref, *,
+                   heads: int, dim_head: int, scale: float, c: int,
+                   interpret: bool = False):
+    """Analytic backward of `_kernel_v2`: recomputes the forward in VMEM
+    from (x, weights) and applies the hand-derived chain rule, so training
+    saves ONLY x per site (vs XLA autodiff stashing qkv + both softmaxes +
+    contraction intermediates in HBM) and never re-reads intermediates.
+    Weight gradients accumulate in f32 across the sequential batch-tile
+    grid (constant-index output blocks, zero-initialized at program 0).
+    Gradients are those of the f32 idealization of the forward (the
+    intermediate compute-dtype casts are not differentiated through — same
+    convention as XLA's own bf16 autodiff, which treats casts as
+    identity)."""
+    f32 = jnp.float32
+    x = x_ref[...]                       # (BT, N, C)
+    gy = gy_ref[...].astype(f32)
+    bt, n, _ = x.shape
+    cdtype = x.dtype
+    ddtype = f32 if (interpret and cdtype == jnp.bfloat16) else cdtype
+    F = heads * dim_head
+
+    def dot(a, b, dims):
+        # same contraction convention as the forward kernel: compute-dtype
+        # operands (bf16 on TPU), f32 accumulation — matching what XLA's
+        # own autodiff of a bf16 forward does for the backward matmuls
+        return jax.lax.dot_general(
+            a.astype(ddtype), b.astype(ddtype), dims,
+            preferred_element_type=f32,
+        )
+
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0) // dim_head
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1) // dim_head
+    blockdiag = (row_h == col_h).astype(f32)
+
+    # ---------------- forward recompute (f32 throughout) ------------------
+    g1s = g1_ref[...].astype(f32)        # (1, 1, C), pre-multiplied sqrt(C)
+    g2s = g2_ref[...].astype(f32)
+    x32 = x.astype(f32)
+    inv1 = jax.lax.rsqrt(jnp.maximum(jnp.sum(x32 * x32, -1, keepdims=True),
+                                     1e-24))
+    xn = x32 * inv1 * g1s
+    W = wqkv_ref[...].astype(f32)
+    qkv = dot(xn.reshape(bt * n, c), W,
+              (((1,), (0,)), ((), ()))).reshape(bt, n, 3 * F)
+    q, k, v = qkv[:, :, :F], qkv[:, :, F:2 * F], qkv[:, :, 2 * F:]
+
+    mh = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.max(q[:, :, h * dim_head:(h + 1) * dim_head],
+                        axis=-1, keepdims=True),
+                (bt, n, dim_head),
+            )
+            for h in range(heads)
+        ],
+        axis=-1,
+    )
+    e = jnp.exp(q - mh)
+    s = dot(e, jnp.broadcast_to(blockdiag, (bt, F, F)),
+            (((2,), (1,)), ((0,), (0,))))
+    sig_q = e / s                         # per-head softmax (no scale)
+
+    mk = memk_ref[...].astype(f32)        # (M, F)
+    mv = memv_ref[...].astype(f32)
+    kmax = jnp.maximum(jnp.max(k, axis=1, keepdims=True),
+                       jnp.max(mk, axis=0)[None, None, :])
+    ek = jnp.exp(k - kmax)
+    emem = jnp.exp(mk[None] - kmax)       # (BT, M, F)
+    z = jnp.sum(ek, axis=1, keepdims=True) + jnp.sum(
+        emem, axis=1, keepdims=True)
+    sig_k = ek / z                        # (BT, N, F)
+    sig_m = emem / z                      # (BT, M, F)
+
+    ctx = dot(sig_k, v, (((1,), (1,)), ((0,), (0,)))) + dot(
+        sig_m, jnp.broadcast_to(mv[None], (bt,) + mv.shape),
+        (((1,), (1,)), ((0,), (0,))),
+    )
+    ctxm = ctx * blockdiag[None]          # (BT, F, F)
+    q_sm = sig_q * scale
+    attn = dot(q_sm, ctxm, (((2,), (1,)), ((0,), (0,))))   # (BT, N, F)
+    Wo = wout_ref[...].astype(f32)        # (F, C)
+    o = dot(attn.reshape(bt * n, F), Wo,
+            (((1,), (0,)), ((), ()))).reshape(bt, n, c)
+    o = o + bout_ref[...].astype(f32)     # bias lands BEFORE norm2
+
+    # ---------------- backward ------------------------------------------
+    # norm2 + residual: y = norm2(o)·g2s + x
+    inv2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(o * o, -1, keepdims=True),
+                                     1e-24))
+    u2 = gy * g2s
+    do = inv2 * u2 - o * (inv2 ** 3) * jnp.sum(u2 * o, -1, keepdims=True)
+    dg2 = jnp.sum(gy * o * inv2, axis=(0, 1)).reshape(1, 1, c)
+
+    dattn = dot(do.reshape(bt * n, c), Wo.T,
+                (((1,), (0,)), ((), ()))).reshape(bt, n, F)
+    dwout = dot(attn.reshape(bt * n, F), do.reshape(bt * n, c),
+                (((0,), (0,)), ((), ())))                     # (F, C)
+    dbout = jnp.sum(do, axis=(0, 1)).reshape(1, 1, c)
+
+    dq_sm = dot(dattn, ctxm, (((2,), (2,)), ((0,), (0,))))    # (BT, N, F)
+    dctx = dot(q_sm, dattn, (((1,), (1,)), ((0,), (0,))))     # (BT, F, F)
+    dctx = dctx * blockdiag[None]
+
+    dv = dot(sig_k, dctx, (((2,), (1,)), ((0,), (0,))))       # (BT, N, F)
+    dsig_k = dot(v, dctx, (((2,), (2,)), ((0,), (0,))))       # (BT, N, F)
+    dsig_m = dot(jnp.broadcast_to(mv[None], (bt,) + mv.shape), dctx,
+                 (((2,), (2,)), ((0,), (0,))))                # (BT, M, F)
+    dmv = jnp.sum(dot(sig_m, dctx, (((2,), (1,)), ((0,), (0,)))), axis=0)
+
+    # q softmax bwd (per-head segments via the block-diag ones matmul)
+    dsig_q = dq_sm * scale
+    t_q = dot(dsig_q * sig_q, jnp.broadcast_to(blockdiag, (bt, F, F)),
+              (((2,), (1,)), ((0,), (0,))))
+    dq = sig_q * (dsig_q - t_q)
+
+    # k softmax bwd (over the token axis incl. memory rows, per feature)
+    t_k = (jnp.sum(dsig_k * sig_k, axis=1, keepdims=True)
+           + jnp.sum(dsig_m * sig_m, axis=1, keepdims=True))  # (BT,1,F)
+    dk = sig_k * (dsig_k - t_k)
+    dmk = jnp.sum(sig_m * (dsig_m - t_k), axis=0)             # (M, F)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)             # (BT, N, 3F)
+    dxn = dot(dqkv.reshape(bt * n, 3 * F), W.T,
+              (((1,), (0,)), ((), ()))).reshape(bt, n, c)
+    dwqkv = dot(xn.reshape(bt * n, c), dqkv.reshape(bt * n, 3 * F),
+                (((0,), (0,)), ((), ())))                     # (C, 3F)
+
+    # norm1 bwd
+    u1 = dxn * g1s
+    dx_norm = inv1 * u1 - x32 * (inv1 ** 3) * jnp.sum(u1 * x32, -1,
+                                                      keepdims=True)
+    dg1 = jnp.sum(dxn * x32 * inv1, axis=(0, 1)).reshape(1, 1, c)
+
+    dx_ref[...] = (gy + dx_norm).astype(cdtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dmemk_ref[...] = jnp.zeros_like(dmemk_ref)
+        dmemv_ref[...] = jnp.zeros_like(dmemv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+
+    dg1_ref[...] += dg1
+    dwqkv_ref[...] += dwqkv
+    dmemk_ref[...] += dmk
+    dmemv_ref[...] += dmv
+    dwout_ref[...] += dwout
+    dbout_ref[...] += dbout
+    dg2_ref[...] += dg2
+
+
 def _batch_tile_v2(b: int, n: int, c: int, F: int, itemsize: int) -> int:
     """Batch tile for the folded kernel. Live set per batch element
     (empirical, dominated by the f32 softmax temps and the bf16 qkv):
@@ -343,8 +499,14 @@ def _lab_fwd(x, g1, wqkv, mem_kv, wout, bout, g2, heads, dim_head, scale,
 
 
 def _lab_bwd(heads, dim_head, scale, interpret, version, saved, grad):
-    # recompute-backward through the jnp twin: the same FLOPs XLA autodiff
-    # would spend on the unfused path, so training cost is unchanged
+    if version == 2 and (interpret or jax.default_backend() == "tpu"):
+        # analytic backward kernel: recomputes the forward in VMEM from
+        # (x, weights) — the only activation training stores per site is x
+        return _pallas_impl_v2_bwd(
+            *saved, grad, heads=heads, dim_head=dim_head, scale=scale,
+            interpret=interpret)
+    # v1 / CPU fallback: recompute-backward through the jnp twin — the same
+    # FLOPs XLA autodiff would spend on the unfused path
     _, vjp = jax.vjp(
         lambda *a: linear_attention_block_reference(
             *a, heads, dim_head, scale),
@@ -412,6 +574,98 @@ def _pallas_impl_v2(x, g1, wqkv, mem_kv, wout, bout, g2, *,
         wout.astype(x.dtype),
         bout.reshape(1, 1, c),
         (g2 * sqrtc).reshape(1, 1, c),
+    )
+
+
+def _pallas_impl_v2_bwd(x, g1, wqkv, mem_kv, wout, bout, g2, gy, *,
+                        heads: int, dim_head: int, scale: float,
+                        interpret: bool = False):
+    """Backward pallas_call for the folded kernel. Returns gradients in the
+    PRIMAL shapes/dtypes of `linear_attention_block`'s array args:
+    (dx, dg1, dwqkv, dmem_kv, dwout, dbout, dg2)."""
+    b, n, c = x.shape
+    F = heads * dim_head
+    M = mem_kv.shape[3]
+    f32 = jnp.float32
+    # backward holds ~2x the forward live set (recompute + grads): half
+    # the forward budget keeps the Mosaic stack under the scoped limit
+    bt = max(1, _batch_tile_v2(b, n, c, F, x.dtype.itemsize) // 2)
+    grid = (b // bt,)
+
+    big = pl.BlockSpec((bt, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    sqrtc = jnp.asarray(c**0.5, f32)
+    mem_rows = mem_kv.astype(x.dtype).transpose(0, 3, 1, 2).reshape(2, M, F)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, n, c), x.dtype),   # dx
+        jax.ShapeDtypeStruct((1, 1, c), f32),       # d(g1*sqrtc)
+        jax.ShapeDtypeStruct((c, 3 * F), f32),      # dwqkv
+        jax.ShapeDtypeStruct((M, F), f32),          # dmem_k rows
+        jax.ShapeDtypeStruct((M, F), f32),          # dmem_v rows
+        jax.ShapeDtypeStruct((F, c), f32),          # dwout
+        jax.ShapeDtypeStruct((1, 1, c), f32),       # dbout
+        jax.ShapeDtypeStruct((1, 1, c), f32),       # d(g2*sqrtc)
+    )
+    out_specs = (
+        big,
+        const((1, 1, c)),
+        const((c, 3 * F)),
+        const((M, F)),
+        const((M, F)),
+        const((F, c)),
+        const((1, 1, c)),
+        const((1, 1, c)),
+    )
+    dx, dg1s, dwqkv, dmk, dmv, dwout, dbout, dg2s = pl.pallas_call(
+        functools.partial(_kernel_v2_bwd, heads=heads, dim_head=dim_head,
+                          scale=scale, c=c, interpret=interpret),
+        grid=grid,
+        in_specs=[
+            big,
+            const((1, 1, c)),
+            const((c, 3 * F)),
+            const((M, F)),
+            const((M, F)),
+            const((F, c)),
+            const((1, 1, c)),
+            const((1, 1, c)),
+            big,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        x,
+        (g1 * sqrtc).reshape(1, 1, c),
+        wqkv.astype(x.dtype),
+        mem_rows[0],
+        mem_rows[1],
+        wout.astype(x.dtype),
+        bout.reshape(1, 1, c),
+        (g2 * sqrtc).reshape(1, 1, c),
+        gy,
+    )
+    # chain through the pre-scaling done at the call boundary
+    dg1 = (dg1s.reshape(c) * sqrtc).astype(g1.dtype)
+    dg2 = (dg2s.reshape(c) * sqrtc).astype(g2.dtype)
+    dmem_kv = jnp.stack(
+        [
+            dmk.reshape(M, heads, dim_head).transpose(1, 2, 0),
+            dmv.reshape(M, heads, dim_head).transpose(1, 2, 0),
+        ]
+    ).astype(mem_kv.dtype)
+    return (
+        dx,
+        dg1,
+        dwqkv.astype(wqkv.dtype),
+        dmem_kv,
+        dwout.astype(wout.dtype),
+        dbout.reshape(c).astype(bout.dtype),
+        dg2,
     )
 
 
