@@ -147,17 +147,27 @@ class GaussianDiffusion:
         self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
         self.unnormalize = unnormalize_to_zero_to_one if auto_normalize else identity
         self._eval_model = None  # lazily built by _model_for(train=False)
+        self._train_model = None  # lazily built by _model_for(train=True)
 
     def _model_for(self, train: bool):
-        """The module to apply: training uses `self.model` as configured;
-        inference (samplers, eval losses) transparently routes 2-D Unets
-        through the fused Pallas LinearAttention block on TPU
+        """The module to apply. Inference always routes 2-D Unets through
+        the fused Pallas LinearAttention block on TPU
         (`models/unet.py::Unet.fused_attn_block`): +24% DDIM throughput on
-        v5e, while training keeps XLA autodiff (the kernel's
-        recompute-backward VJP measured ~5% slower there). Same param tree
-        either way; DMT_PALLAS_LINATTN=0 disables globally."""
+        v5e. Training routes through it too — the analytic backward kernel
+        measured +32% on the bs256 train step (7452 vs 5649 img/s) — but
+        ONLY single-device: under a multi-chip mesh the pallas_call would
+        have to be GSPMD-partitioned, which this environment cannot
+        validate on real hardware, so sharded training keeps plain XLA.
+        Same param tree either way; DMT_PALLAS_LINATTN=0 disables
+        globally."""
         if train:
-            return self.model
+            if self._train_model is None:
+                self._train_model = (
+                    route_for_inference(self.model)
+                    if jax.device_count() == 1
+                    else self.model
+                )
+            return self._train_model
         if self._eval_model is None:
             self._eval_model = route_for_inference(self.model)
         return self._eval_model

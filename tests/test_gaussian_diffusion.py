@@ -326,12 +326,13 @@ def test_hybrid_loss_matches_reference_reduction():
 
 
 def test_eval_model_routing_preserves_params_and_train_path():
-    """`_model_for` must (a) return `self.model` unchanged for training,
-    (b) hand inference a module with an IDENTICAL param tree (the
-    `fused_attn_block` clone only changes op routing, never parameters),
-    and (c) respect the DMT_PALLAS_LINATTN=0 kill switch. On the CPU test
-    backend the clone never happens (TPU-only routing), so also pin the
-    clone behavior explicitly."""
+    """`_model_for` must (a) hand both training and inference a module
+    with an IDENTICAL param tree (the `fused_attn_block` clone only
+    changes op routing, never parameters; training routes fused only on a
+    single device, inference always on TPU), and (b) respect the
+    DMT_PALLAS_LINATTN=0 kill switch. On the CPU test backend the clone
+    never happens (TPU-only routing), so also pin the clone behavior
+    explicitly."""
     import os
 
     from diffusion_models_tpu.models.unet import Unet
@@ -339,6 +340,8 @@ def test_eval_model_routing_preserves_params_and_train_path():
     model = Unet(dim=8, dim_mults=(1, 2), channels=3)
     diff = GaussianDiffusion(model, image_size=8, timesteps=10,
                               beta_schedule="cosine")
+    # CPU backend: route_for_inference is a no-op, so both paths return
+    # the configured module itself
     assert diff._model_for(train=True) is model
 
     eval_model = diff._model_for(train=False)
