@@ -23,6 +23,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# mirror conftest's compile-time setting: the parent pytest process runs
+# the single-process reference with optimization passes skipped, and the
+# comparison is at 2e-5 — optimization-dependent f32 rounding must match
+if os.environ.get("DMT_TEST_FULL_OPT", "0") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
 
 
 def main():
