@@ -241,7 +241,7 @@ class CFGGaussianDiffusion(GaussianDiffusion):
         if rng is not None:
             drop_rng, cdrop_rng = jax.random.split(rng)
             rngs = {"dropout": drop_rng, "cond_drop": cdrop_rng}
-        return self.model.apply(
+        return self._model_for(train).apply(
             {"params": params}, x, t, cond, train=train, rngs=rngs or None
         ).astype(jnp.float32)
 

@@ -118,11 +118,7 @@ class ElucidatedDiffusion:
                     route_for_inference,
                 )
 
-                self._train_net = (
-                    route_for_inference(self.net)
-                    if jax.device_count() == 1
-                    else self.net
-                )
+                self._train_net = route_for_inference(self.net)
             net = self._train_net
         else:
             # fused Pallas LinearAttention routing for the samplers (same

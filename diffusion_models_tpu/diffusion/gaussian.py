@@ -57,10 +57,16 @@ def route_for_inference(model):
     kernel's recompute-backward VJP measured ~5% slower than XLA autodiff).
     The clone only reroutes ops — the param tree is identical. Models
     without the field (UViT, Unet1D, KarrasUnetND) and CPU backends are
-    returned unchanged; DMT_PALLAS_LINATTN=0 disables globally."""
+    returned unchanged; DMT_PALLAS_LINATTN=0 disables globally.
+
+    Validated envelope: single visible device only. Under a multi-chip
+    mesh the pallas_call would need GSPMD partitioning, which this
+    environment cannot exercise on real hardware — multi-device programs
+    keep the plain-XLA path (it shards fine)."""
     if (
         getattr(model, "fused_attn_block", False) is None
         and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
         and os.environ.get("DMT_PALLAS_LINATTN") != "0"
     ):
         return model.clone(fused_attn_block=True)
@@ -162,11 +168,7 @@ class GaussianDiffusion:
         globally."""
         if train:
             if self._train_model is None:
-                self._train_model = (
-                    route_for_inference(self.model)
-                    if jax.device_count() == 1
-                    else self.model
-                )
+                self._train_model = route_for_inference(self.model)
             return self._train_model
         if self._eval_model is None:
             self._eval_model = route_for_inference(self.model)
