@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 _LIB_PATH = _NATIVE_DIR / "libdmt_preproc.so"
 _lib = None
 _lib_failed = False
