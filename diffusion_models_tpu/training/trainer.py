@@ -426,7 +426,20 @@ class Trainer:
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
     def _jit_sample(self, params, rng, batch_size, cond=None):
-        return self.diffusion.sample(params, rng, batch_size, cond=cond)
+        out = self.diffusion.sample(params, rng, batch_size, cond=cond)
+        # Shard milestone-eval sampling over the data axis: without the
+        # constraint GSPMD replicates the whole reverse-diffusion scan on
+        # every device (params are replicated, the batch has no producer
+        # sharding), so an 8-chip mesh does 8x redundant work per FID
+        # sweep. The constraint back-propagates through the scan carry and
+        # the (partitionable) threefry noise, splitting the batch across
+        # chips; values are unchanged.
+        n_data = self.mesh.shape.get("data", 1)
+        if n_data > 1 and batch_size % n_data == 0:
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.mesh, P("data"))
+            )
+        return out
 
     def generate_samples(self, total: int, rng_seed: int = 0):
         """Generate `total` EMA samples in train_batch_size chunks, as one
