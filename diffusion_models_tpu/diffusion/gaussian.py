@@ -102,6 +102,7 @@ class GaussianDiffusion:
         hybrid_loss: bool = False,
         remat: bool = False,
         use_pallas: bool = False,
+        sampling_method: str = "ddim",
     ):
         self.model = model
         self.channels = model.channels
@@ -123,6 +124,8 @@ class GaussianDiffusion:
         assert self.sampling_timesteps <= timesteps
         self.is_ddim_sampling = self.sampling_timesteps < timesteps
         self.ddim_sampling_eta = ddim_sampling_eta
+        assert sampling_method in {"ddim", "dpmpp"}
+        self.sampling_method = sampling_method
 
         self.schedule: DiffusionSchedule = make_schedule(
             timesteps,
@@ -646,6 +649,80 @@ class GaussianDiffusion:
             ret = img
         return self.unnormalize(ret)
 
+    def dpmpp_sample(
+        self,
+        params,
+        rng,
+        shape,
+        sampling_timesteps: Optional[int] = None,
+        cond=None,
+    ):
+        """DPM-Solver++(2M) for the VP (DDPM) process — one `lax.scan`.
+
+        Data-prediction multistep solver (Lu et al. 2022, arXiv:2211.01095;
+        same 2M form the reference ships only for EDM,
+        `elucidated_diffusion.py:190-226`). Uses the DDIM time grid so step
+        counts are directly comparable to `ddim_sample`; typically matches
+        DDIM-50 quality at 10-15 steps. Deterministic (no ancestral noise).
+
+        Per step, with a_t = sqrt(abar_t), s_t = sqrt(1-abar_t),
+        lam_t = log(a_t/s_t), h = lam_next - lam_t:
+            x <- (s_next/s_t) x - a_next expm1(-h) D
+        where D is the 2nd-order combination of the current and previous
+        x0 predictions ((1-g) x0 + g x0_prev, g = -h_prev/(2h)).
+        """
+        sampling_timesteps = default(sampling_timesteps, self.sampling_timesteps)
+        batch = shape[0]
+        s = self.schedule
+
+        # grid: [T-1, ..., -1]; abar(-1) = 1 exactly (the clean endpoint)
+        total = self.num_timesteps
+        times = np.linspace(-1, total - 1, num=sampling_timesteps + 1)
+        times = np.array(list(reversed(times.astype(np.int64).tolist())))
+        abar = np.where(
+            times < 0, 1.0, np.asarray(s.alphas_cumprod)[np.maximum(times, 0)]
+        ).astype(np.float64)
+        a = np.sqrt(abar)
+        sig = np.sqrt(np.maximum(1.0 - abar, 0.0))
+        lam = np.log(a / np.maximum(sig, 1e-20))
+        n_steps = sampling_timesteps
+
+        a_j = jnp.asarray(a, jnp.float32)
+        sig_j = jnp.asarray(sig, jnp.float32)
+        lam_j = jnp.asarray(lam, jnp.float32)
+        times_j = jnp.asarray(times, jnp.int32)
+
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, jnp.float32)
+
+        def step(carry, i):
+            img, x0_prev = carry
+            t_b = jnp.full((batch,), times_j[i], jnp.int32)
+            self_cond = x0_prev if self.self_condition else None
+            _, x0 = self.model_predictions(
+                params, img, t_b, self_cond, cond, clip_x_start=True
+            )
+
+            h = lam_j[i + 1] - lam_j[i]
+            h_last = lam_j[i] - lam_j[jnp.maximum(i - 1, 0)]
+            r = h_last / jnp.where(h == 0, 1.0, h)
+            gamma = -1.0 / (2.0 * jnp.where(r == 0, 1.0, r))
+            x0_mix = (1.0 - gamma) * x0 + gamma * x0_prev
+
+            # first step has no x0_prev; last step lands exactly on x0
+            # (sig_next = 0 would also send gamma's guard degenerate)
+            use_plain = jnp.logical_or(i == 0, i == n_steps - 1)
+            d = jnp.where(use_plain, x0, x0_mix)
+
+            ratio = sig_j[i + 1] / jnp.maximum(sig_j[i], 1e-20)
+            img = ratio * img - a_j[i + 1] * jnp.expm1(-h) * d
+            return (img, x0), None
+
+        (img, _), _ = jax.lax.scan(
+            step, (img0, jnp.zeros_like(img0)), jnp.arange(n_steps)
+        )
+        return self.unnormalize(jnp.clip(img, -1.0, 1.0))
+
     def ddim_sample_guided(
         self,
         params,
@@ -719,6 +796,8 @@ class GaussianDiffusion:
     ):
         shape = self.sample_shape(batch_size)
         if self.is_ddim_sampling:
+            if self.sampling_method == "dpmpp" and not return_all_timesteps:
+                return self.dpmpp_sample(params, rng, shape, cond=cond)
             return self.ddim_sample(
                 params, rng, shape, cond=cond, return_all_timesteps=return_all_timesteps
             )

@@ -52,6 +52,7 @@ def main():
     diffusion = ImageConditionalGaussianDiffusion(
         unet, image_size=d["image_size"], timesteps=d["timesteps"],
         sampling_timesteps=args.ddim_sampling_timesteps,
+        sampling_method=args.sampler,
     )
 
     dataset = cond_provider = fid_scorer = None

@@ -362,3 +362,58 @@ def test_eval_model_routing_preserves_params_and_train_path():
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dpmpp_sampling_shapes_and_range(diff_and_params):
+    diff, params = diff_and_params
+    out = jax.jit(
+        lambda p, r: diff.dpmpp_sample(p, r, (2, 16, 16, 3), sampling_timesteps=5)
+    )(params, jax.random.PRNGKey(21))
+    assert out.shape == (2, 16, 16, 3)
+    o = np.asarray(out)
+    assert np.all(np.isfinite(o))
+    assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+def test_dpmpp_single_step_is_x0_prediction(diff_and_params):
+    """With S=1 the grid is [(T-1) -> -1]: the solver must land exactly on
+    the clipped x0 prediction at t = T-1 (the terminal endpoint of the
+    lambda integral), matching model_predictions."""
+    diff, params = diff_and_params
+    rng = jax.random.PRNGKey(22)
+    out = diff.dpmpp_sample(params, rng, (2, 16, 16, 3), sampling_timesteps=1)
+
+    init_key = jax.random.split(rng)[1]
+    img0 = jax.random.normal(init_key, (2, 16, 16, 3), jnp.float32)
+    t_b = jnp.full((2,), diff.num_timesteps - 1, jnp.int32)
+    # jit the reference prediction too: an eager forward differs from the
+    # compiled one by ~7e-4 (fusion reassociation), which would swamp the
+    # solver-exactness property under test
+    x0 = jax.jit(
+        lambda p, x, t: diff.model_predictions(
+            p, x, t, None, None, clip_x_start=True
+        )[1]
+    )(params, img0, t_b)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(diff.unnormalize(x0)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dpmpp_matches_ddim_at_dense_steps(diff_and_params):
+    """Both DDIM (eta=0) and DPM-Solver++ discretize the same probability-
+    flow ODE; at a dense grid (S = T) on the same init noise their samples
+    must converge to the same trajectory endpoint."""
+    diff, params = diff_and_params
+    rng = jax.random.PRNGKey(23)
+    ddim = diff.ddim_sample(params, rng, (2, 16, 16, 3), sampling_timesteps=20)
+    dpmpp = diff.dpmpp_sample(params, rng, (2, 16, 16, 3), sampling_timesteps=20)
+    d = np.abs(np.asarray(ddim) - np.asarray(dpmpp))
+    assert d.mean() < 0.05, d.mean()
+
+
+def test_sample_dispatches_dpmpp():
+    diff = tiny_diffusion(sampling_timesteps=4, sampling_method="dpmpp")
+    params = diff.init(jax.random.PRNGKey(0))
+    out = diff.sample(params, jax.random.PRNGKey(1), batch_size=2)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -93,6 +93,7 @@ def build(cfg):
             beta_schedule=d.get("beta_schedule", "linear"),
             ddpm=d.get("ddpm", True),
             hybrid_loss=d.get("hybrid_loss", False),
+            sampling_method=d.get("sampling_method", "ddim"),
         )
 
     t = cfg["trainer"]
