@@ -50,26 +50,39 @@ class ModelPrediction(NamedTuple):
 
 
 def route_for_inference(model):
-    """Inference variant of a denoiser module: on TPU, 2-D Unets are cloned
-    with `fused_attn_block=True` so every LinearAttention site runs the
-    fused Pallas whole-block kernel (+24% DDIM throughput on v5e,
-    `ops/pallas/linear_attn_block.py`). Training must NOT use this (the
-    kernel's recompute-backward VJP measured ~5% slower than XLA autodiff).
+    """Route a denoiser module through the fused Pallas LinearAttention
+    block kernel (`ops/pallas/linear_attn_block.py`, the head-folded v2
+    kernel with analytic backward). On TPU, 2-D Unets are cloned with
+    `fused_attn_block=True` so every LinearAttention site runs the whole
+    block (pre-norm → qkv → both softmaxes → contractions → out-proj →
+    out-norm → residual) as one VMEM-resident program. This is the
+    DEFAULT for BOTH sampling and training — measured on v5e at the
+    flagship shapes: +24% DDIM-50 sampling throughput and +20.6% on the
+    clean-chip bs256 train step (honest idle-chip A/B; see
+    docs/ROUND3_NOTES.md), with HBM traffic per call roughly halved.
+
+    Multi-device envelope: the kernel itself is batch-tiled and rides a
+    `jax.shard_map` over the data axis when the Trainer has registered its
+    mesh (`linear_attn_block.set_fused_mesh` — pure-DP only; fsdp/tp shard
+    the weights and keep the plain-XLA path). Without a registered mesh,
+    multi-device programs keep plain XLA, which GSPMD shards natively.
+
     The clone only reroutes ops — the param tree is identical. Models
     without the field (UViT, Unet1D, KarrasUnetND) and CPU backends are
-    returned unchanged; DMT_PALLAS_LINATTN=0 disables globally.
-
-    Validated envelope: single visible device only. Under a multi-chip
-    mesh the pallas_call would need GSPMD partitioning, which this
-    environment cannot exercise on real hardware — multi-device programs
-    keep the plain-XLA path (it shards fine)."""
+    returned unchanged; DMT_PALLAS_LINATTN=0 disables globally."""
     if (
         getattr(model, "fused_attn_block", False) is None
         and jax.default_backend() == "tpu"
-        and jax.device_count() == 1
         and os.environ.get("DMT_PALLAS_LINATTN") != "0"
     ):
-        return model.clone(fused_attn_block=True)
+        if jax.device_count() == 1:
+            return model.clone(fused_attn_block=True)
+        from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+            get_fused_mesh,
+        )
+
+        if get_fused_mesh() is not None:
+            return model.clone(fused_attn_block=True)
     return model
 
 
@@ -159,16 +172,14 @@ class GaussianDiffusion:
         self._train_model = None  # lazily built by _model_for(train=True)
 
     def _model_for(self, train: bool):
-        """The module to apply. Inference always routes 2-D Unets through
-        the fused Pallas LinearAttention block on TPU
-        (`models/unet.py::Unet.fused_attn_block`): +24% DDIM throughput on
-        v5e. Training routes through it too — the analytic backward kernel
-        measured +32% on the bs256 train step (7452 vs 5649 img/s) — but
-        ONLY single-device: under a multi-chip mesh the pallas_call would
-        have to be GSPMD-partitioned, which this environment cannot
-        validate on real hardware, so sharded training keeps plain XLA.
-        Same param tree either way; DMT_PALLAS_LINATTN=0 disables
-        globally."""
+        """The module to apply. Both inference and training route 2-D
+        Unets through the fused Pallas LinearAttention block on TPU
+        (`models/unet.py::Unet.fused_attn_block`): measured +24% DDIM-50
+        sampling and +20.6% clean-chip train-step throughput on v5e (the
+        analytic backward kernel; honest idle-chip A/B, ROUND3_NOTES).
+        Multi-device: rides shard_map over the data axis when the Trainer
+        registered its mesh (see `route_for_inference`). Same param tree
+        either way; DMT_PALLAS_LINATTN=0 disables globally."""
         if train:
             if self._train_model is None:
                 self._train_model = route_for_inference(self.model)

@@ -302,20 +302,23 @@ class LinearAttention(nn.Module):
     (`denoising_diffusion.py:150-193`).
 
     Data paths (identical parameters and math in all three):
-      - `fused_block` (opt-in, `DMT_PALLAS_LINATTN=1`): the WHOLE block —
+      - `fused_block` (DEFAULT on TPU via `route_for_inference`, which
+        clones the Unet with `fused_attn_block=True`): the WHOLE block —
         pre-norm, qkv projection, both softmaxes, contractions, output
         projection, out-norm, residual — as one Pallas kernel
-        (`ops/pallas/linear_attn_block.py`). Round-3 profiling showed the
-        XLA path inside the full U-Net spends ~10× the standalone cost on
-        these sites (layout pathology), but MEASURED end-to-end the kernel
-        still LOST: 351.0 samples/s vs 414–427 for the XLA path (the
-        pallas_call layout pins push the copies elsewhere in the graph).
-        See docs/ROUND3_NOTES.md. Kept for re-measurement on other shapes.
-      - `flash=True`: round-2 per-(b·h) Pallas contraction kernel.
-      - otherwise (DEFAULT): the jnp path (`linear_attention_bnhd_memkv`),
-        token-major with the memory-KV slots folded in analytically (no
-        token-axis concat, so k/v stay tile-aligned at N = H·W); XLA fuses
-        it — also the reference for parity tests.
+        (`ops/pallas/linear_attn_block.py`, head-folded v2 with analytic
+        backward): measured +24% DDIM-50 sampling and +20.6% clean-chip
+        train step on v5e (docs/ROUND3_NOTES.md). Under a DP mesh it
+        shard_maps over the data axis (`set_fused_mesh`).
+        `DMT_PALLAS_LINATTN=0` kills it globally; `=1` forces it on for
+        modules whose flag is unset (e.g. outside the diffusion routing).
+      - `flash=True`: round-2 per-(b·h) Pallas contraction kernel
+        (measured −15% end-to-end; opt-in for other shapes).
+      - otherwise (CPU / kill-switch): the jnp path
+        (`linear_attention_bnhd_memkv`), token-major with the memory-KV
+        slots folded in analytically (no token-axis concat, so k/v stay
+        tile-aligned at N = H·W); XLA fuses it — also the reference for
+        parity tests.
     """
 
     dim: int

@@ -28,15 +28,20 @@ SLOWER than XLA): programs span a batch tile × all heads (not one tiny
 MXU has real work and the HBM savings include every intermediate, not
 just the softmax chain.
 
-MEASURED OUTCOME (round 3, flagship DDIM-50 bs256, v5e): routing every
-LinearAttention site through this kernel gave 351.0 samples/s vs
-414–427 for the pure-XLA path — a net LOSS despite the per-site HBM
-savings. Same failure mode as the fused-norm kernel: mid-graph
-`pallas_call`s pin their operand layouts and force copies elsewhere in
-the graph that exceed the traffic saved inside the block. Opt-in via
-`DMT_PALLAS_LINATTN=1` (or `LinearAttention(fused_block=True)`) for
-re-measurement on other shapes; interpret-mode parity tests keep it
-honest.
+MEASURED OUTCOMES (flagship shapes, v5e, honest idle-chip A/Bs —
+docs/ROUND3_NOTES.md):
+  - v1 (per-head `_kernel`): 351.0 samples/s vs 414–427 XLA — a net
+    LOSS (32-wide lane slices waste 3/4 of the VPU; the pallas_call
+    layout pins push copies elsewhere). Kept opt-in (`version=1`).
+  - v2 (head-folded `_kernel_v2` + analytic backward): +24% DDIM-50
+    sampling (524 vs ~423 samples/s) and +20.6% clean-chip bs256
+    train step, HBM/call roughly halved. THIS IS THE DEFAULT on TPU:
+    `route_for_inference` clones 2-D Unets with `fused_attn_block=True`
+    for both sampling and training; `DMT_PALLAS_LINATTN=0` disables,
+    `=1` forces it on for modules whose flag is unset.
+Multi-device: `set_fused_mesh` (called by the Trainer) makes the wrapper
+shard_map itself over the data axis, so the kernel stays legal — and the
+throughput gains apply per shard — under a DP mesh.
 
 Semantics: reference `denoising_diffusion.py:150-193` (LinearAttention
 with mem_kv), as reshaped by `models/unet.py::LinearAttention`.
@@ -421,8 +426,18 @@ def _batch_tile_v2(b: int, n: int, c: int, F: int, itemsize: int) -> int:
     actual Mosaic stack allocation, just under the 16 MB scoped-VMEM
     limit; measured best on v5e). Larger tiles matter twice: the N=1024
     sites gain MXU occupancy (bt=4), and the small sites (N=256, c=128)
-    are grid-step-latency-bound at bt=1."""
+    are grid-step-latency-bound at bt=1.
+
+    The estimate→actual ratio is shape-dependent: at the flagship sites
+    (n=1024) a 19.9 MB estimate lands ≈15 MB of actual stack, but at the
+    LDM latent site (b=64, n=64, c=64, F=128) a 19.4 MB estimate landed
+    16.57 MB — past the 16 MB hard limit (measured compile OOM, queue9
+    leg 2). Small-n sites are latency-bound, not occupancy-bound, so cap
+    their budget at 16 MB estimated; the flagship n≥256 sites keep the
+    calibrated 20 MB."""
     budget = int(os.environ.get("DMT_LAB_BUDGET_MB", "20")) << 20
+    if n < 256:
+        budget = min(budget, 16 << 20)
     per_elem = n * (2 * c + 6 * F) * itemsize + n * 6 * F * 4
     bt = 1
     while bt * 2 <= b and b % (bt * 2) == 0 and (bt * 2) * per_elem < budget:
@@ -518,6 +533,31 @@ def _lab_bwd(heads, dim_head, scale, interpret, version, saved, grad):
 _linear_attention_block.defvjp(_lab_fwd, _lab_bwd)
 
 
+# ---- mesh registry: makes the kernel legal under a multi-device mesh ----
+#
+# A pallas_call is a custom call GSPMD cannot partition: under a jit with a
+# sharded batch it would be replicated (every device computing the full
+# global batch). Registering the active data-parallel mesh here lets
+# `linear_attention_block` wrap itself in `jax.shard_map` over the data
+# axis — the kernel is batch-tiled, so each shard's pallas_call is
+# independent, and shard_map's transpose inserts the psum for the
+# replicated weights' gradients automatically. The Trainer registers its
+# mesh at construction (pure-DP only: with fsdp/tp the weights themselves
+# are sharded, which the replicated-weight specs below don't support).
+_FUSED_MESH = None  # (Mesh, data_axis_name) | None
+
+
+def set_fused_mesh(mesh, axis: str = "data"):
+    """Register (or clear, with mesh=None) the mesh the fused block kernel
+    shard_maps over. Read at trace time."""
+    global _FUSED_MESH
+    _FUSED_MESH = None if mesh is None else (mesh, axis)
+
+
+def get_fused_mesh():
+    return _FUSED_MESH
+
+
 def linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2, *,
                            heads: int, dim_head: int, scale: float,
                            interpret: bool = False, version: int = 2):
@@ -525,8 +565,41 @@ def linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2, *,
     rmsnorm(x)))) + x. Weights: g1 (C,), wqkv (C, 3·H·D), mem_kv
     (2, H, D, M), wout (H·D, C), bout (C,), g2 (C,). Runs the Pallas kernel
     on TPU (or `interpret=True`), the jnp twin elsewhere; differentiable
-    via recompute-backward. `version=2` (default) is the head-folded
-    full-lane kernel; `version=1` the per-head original."""
+    via recompute-backward (v2: analytic backward kernel). `version=2`
+    (default) is the head-folded full-lane kernel; `version=1` the per-head
+    original.
+
+    Under a registered multi-device mesh (`set_fused_mesh`) the call is
+    shard_mapped over the data axis: per-shard pallas_calls on the local
+    batch, weights replicated (their grads psum-ed by the shard_map
+    transpose). Batches not divisible by the axis fall back to the jnp
+    twin, which GSPMD shards natively."""
+    reg = get_fused_mesh()
+    if reg is not None:
+        mesh, axis = reg
+        n_shards = mesh.shape[axis]
+        if n_shards > 1:
+            if x.shape[0] % n_shards != 0:
+                return linear_attention_block_reference(
+                    x, g1, wqkv, mem_kv, wout, bout, g2, heads, dim_head,
+                    scale)
+            from jax.sharding import PartitionSpec as P
+
+            def fn(x_, g1_, wqkv_, mem_, wout_, bout_, g2_):
+                # positional call: custom_vjp nondiff_argnums must not
+                # arrive as keywords
+                return _linear_attention_block(
+                    x_, g1_, wqkv_, mem_, wout_, bout_, g2_,
+                    heads, dim_head, scale, interpret, version)
+
+            rep = P()  # fully-replicated spec
+            return jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(P(axis), rep, rep, rep, rep, rep, rep),
+                out_specs=P(axis),
+                check_vma=False,
+            )(x, g1, wqkv, mem_kv, wout, bout, g2)
     return _linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2,
                                    heads, dim_head, scale, interpret, version)
 

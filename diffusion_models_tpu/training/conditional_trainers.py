@@ -62,14 +62,15 @@ class ImageConditionalTrainer(Trainer):
         for n in num_to_groups(self.num_samples, self.batch_size):
             rng, key = jax.random.split(rng)
             cond = self.sample_cond(n, np_rng)
-            out = np.asarray(self._jit_sample(self.state.ema.params, key, n, cond))
+            out = self._fetch(self._jit_sample(self.state.ema.params, key, n, cond))
             chunks.append(np.concatenate([cond, out], axis=2))  # along width
         grid = np.concatenate(chunks, axis=0)
-        save_image_grid(
-            grid,
-            self.results_folder / f"sample-{milestone}.png",
-            nrow=int(np.sqrt(self.num_samples)),
-        )
+        if jax.process_index() == 0:
+            save_image_grid(
+                grid,
+                self.results_folder / f"sample-{milestone}.png",
+                nrow=int(np.sqrt(self.num_samples)),
+            )
         self.writer.image("Samples", grid[0], step)
 
         self._conditional_eval_and_save(step, milestone)
@@ -133,17 +134,18 @@ class CFGTrainer(Trainer):
             out = self._jit_sample(
                 self.state.ema.params, key, self.batch_size, block
             )
-            chunks.append(np.asarray(out[:sz]))
+            chunks.append(self._fetch(out, sz))
         grid = np.concatenate(chunks, axis=0)
-        save_image_grid(
-            grid,
-            self.results_folder / f"sample-{milestone}.png",
-            nrow=int(np.sqrt(self.num_samples)),
-        )
-        with open(self.results_folder / f"sample-{milestone}.txt", "w") as f:
-            f.write(
-                "\n".join(self.dataset.class_names[c] for c in classes)
+        if jax.process_index() == 0:
+            save_image_grid(
+                grid,
+                self.results_folder / f"sample-{milestone}.png",
+                nrow=int(np.sqrt(self.num_samples)),
             )
+            with open(self.results_folder / f"sample-{milestone}.txt", "w") as f:
+                f.write(
+                    "\n".join(self.dataset.class_names[c] for c in classes)
+                )
         self.writer.image("Samples", grid[0], step)
 
         ImageConditionalTrainer._conditional_eval_and_save(self, step, milestone)
@@ -181,17 +183,18 @@ class TextConditionalTrainer(Trainer):
         for n in num_to_groups(self.num_samples, self.batch_size):
             rng, key = jax.random.split(rng)
             caps, embs = self.dataset.random_embeddings(n, np_rng)
-            out = np.asarray(self._jit_sample(self.state.ema.params, key, n, embs))
+            out = self._fetch(self._jit_sample(self.state.ema.params, key, n, embs))
             chunks.append(out)
             captions.extend(caps)
         grid = np.concatenate(chunks, axis=0)
-        save_image_grid(
-            grid,
-            self.results_folder / f"sample-{milestone}.png",
-            nrow=int(np.sqrt(self.num_samples)),
-        )
-        with open(self.results_folder / f"sample-{milestone}.txt", "w") as f:
-            f.write("\n".join(captions))
+        if jax.process_index() == 0:
+            save_image_grid(
+                grid,
+                self.results_folder / f"sample-{milestone}.png",
+                nrow=int(np.sqrt(self.num_samples)),
+            )
+            with open(self.results_folder / f"sample-{milestone}.txt", "w") as f:
+                f.write("\n".join(captions))
         self.writer.image("Samples", grid[0], step)
         # caption tiles alongside the grid (reference `log_txt_as_img`)
         from diffusion_models_tpu.utils.image import log_txt_as_img

@@ -152,7 +152,11 @@ class FIDEvaluation:
             feats = np.concatenate(feats, axis=0)
             self.m2 = np.mean(feats, axis=0)
             self.s2 = np.cov(feats, rowvar=False)
-            np.savez_compressed(path, m2=self.m2, s2=self.s2)
+            # multi-host: every process computes the stats (host-side numpy,
+            # identical inputs) but only process 0 writes the cache — two
+            # processes racing on one npz corrupts it
+            if jax.process_index() == 0:
+                np.savez_compressed(path, m2=self.m2, s2=self.s2)
         self.dataset_stats_loaded = True
 
     def fid_score(self, fake_samples) -> float:
@@ -196,9 +200,10 @@ class InceptionScoreEvaluation:
         kl = preds * (np.log(preds + eps) - np.log(p_y + eps))
         inception_score = math.exp(float(kl.sum(axis=1).mean()))
 
-        try:
-            with open(self.log_path, "a") as f:
-                f.write(f"{inception_score}\n")
-        except OSError:
-            pass
+        if jax.process_index() == 0:
+            try:
+                with open(self.log_path, "a") as f:
+                    f.write(f"{inception_score}\n")
+            except OSError:
+                pass
         return inception_score, 0.0

@@ -115,6 +115,7 @@ class Trainer:
         lr_schedule=None,
         lr_schedule_config: Optional[dict] = None,
         param_sharding: str = "replicated",
+        fsdp_min_size: int = 2**16,
     ):
         assert has_int_squareroot(num_samples), "number of samples must have an integer sqrt"
         self.diffusion = diffusion_model
@@ -252,7 +253,12 @@ class Trainer:
             if param_sharding == "fsdp":
                 from diffusion_models_tpu.parallel.mesh import shard_params_fsdp
 
-                params = shard_params_fsdp(params, self.mesh)
+                # min_size: leaves smaller than this stay replicated — the
+                # all-gather latency beats the memory saved (tunable for
+                # tests / unusually wide shallow models)
+                params = shard_params_fsdp(
+                    params, self.mesh, min_size=fsdp_min_size
+                )
             else:
                 from diffusion_models_tpu.parallel.mesh import shard_params_tp
 
@@ -267,7 +273,40 @@ class Trainer:
                 opt_state=jax.jit(self.tx.init)(params),
                 ema=jax.jit(ema_init)(params),
             )
+        # per-leaf placements of the live state — `load()` restores onto
+        # these instead of blanket-replicating, so resuming an fsdp/tp run
+        # keeps the sharding the constructor set up (a model that needed
+        # FSDP to fit would otherwise OOM on resume). Leaves that aren't on
+        # the mesh (e.g. scalar opt_state counters jit placed on the default
+        # device) are normalized to mesh-replicated so the whole state lives
+        # on one device set — with_sharding_constraint rejects mixed sets.
+        def _mesh_sharding(x):
+            s = x.sharding
+            if getattr(s, "mesh", None) is self.mesh or (
+                hasattr(s, "mesh") and s.mesh == self.mesh
+            ):
+                return s
+            return self.replicated
+
+        self._state_shardings = jax.tree_util.tree_map(
+            _mesh_sharding, self.state
+        )
+        self.state = jax.tree_util.tree_map(
+            jax.device_put, self.state, self._state_shardings
+        )
         self._base_rng = jax.random.PRNGKey(seed + 1)
+
+        # single-device or pure-DP meshes can route LinearAttention sites
+        # through the fused Pallas block kernel; registering the mesh lets
+        # the kernel wrapper shard_map itself over the data axis (with
+        # fsdp/tp the weights are themselves sharded, which the kernel's
+        # replicated-weight shard_map does not support — keep plain XLA)
+        if param_sharding == "replicated" and "data" in self.mesh.axis_names:
+            from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+                set_fused_mesh,
+            )
+
+            set_fused_mesh(self.mesh, "data")
 
         self._train_step = self._build_train_step()
         self._fid_scorer = None
@@ -368,6 +407,13 @@ class Trainer:
             new_state = TrainState(
                 step=state.step + 1, params=params, opt_state=opt_state, ema=ema
             )
+            # pin the output placement to what the constructor set up —
+            # without this GSPMD is free to re-shard state leaves after a
+            # step (e.g. moving an fsdp shard to a different axis), which
+            # breaks donation reuse and makes resume placement ambiguous
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, self._state_shardings
+            )
             return new_state, loss
 
         if self.steps_per_call == 1:
@@ -458,8 +504,22 @@ class Trainer:
             rng, key = jax.random.split(rng)
             cond = self.sample_cond(self.batch_size, np_rng)
             out = self._jit_sample(ema_params, key, self.batch_size, cond)
-            chunks.append(np.asarray(out[:n]))
+            chunks.append(self._fetch(out, n))
         return np.concatenate(chunks, axis=0)
+
+    @staticmethod
+    def _fetch(out, n: Optional[int] = None) -> np.ndarray:
+        """Materialize a sampler output as host numpy. Multi-host, the
+        output is sharded across processes (the data-axis constraint in
+        `_jit_sample`) — `np.asarray` on a non-addressable global array
+        raises, so gather it to every host first (the reference's
+        main-process gather semantics, `denoising_diffusion.py:1213-1219`)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+        out = np.asarray(out)
+        return out if n is None else out[:n]
 
     # ------------------------------------------------------------------ fid
 
@@ -531,11 +591,19 @@ class Trainer:
                 step=jnp.asarray(restored["ema_step"], jnp.int32),
             ),
         )
-        self.state = jax.device_put(self.state, self.replicated)
+        # restore each leaf onto the placement `param_sharding` dictates
+        # (captured at construction) — NOT blanket replication, which would
+        # silently discard fsdp/tp placements on resume
+        self.state = jax.tree_util.tree_map(
+            jax.device_put, self.state, self._state_shardings
+        )
 
     def save_training_params(self):
         """JSON dump of all JSON-able config attrs
-        (reference `save_training_params`, :1136-1148)."""
+        (reference `save_training_params`, :1136-1148). Written from
+        process 0 only (reference `is_main_process` gating, :1101)."""
+        if jax.process_index() != 0:
+            return
         out = {}
         for k, v in vars(self).items():
             try:
@@ -622,11 +690,17 @@ class Trainer:
     def _milestone_eval(self, step: int):
         milestone = step // self.save_and_sample_every
 
-        # sample grid from EMA weights
+        # sample grid from EMA weights. generate_samples is a collective
+        # (every process participates in the SPMD sampler); only the host
+        # side effects are process-0-gated (reference is_main_process,
+        # `denoising_diffusion.py:1023,1050,1101`)
         samples = self.generate_samples(self.num_samples, rng_seed=milestone)
-        grid_path = self.results_folder / f"sample-{milestone}.png"
-        save_image_grid(samples, grid_path, nrow=int(np.sqrt(self.num_samples)))
-        self.writer.image("Samples", np.asarray(samples[0]), step)
+        if jax.process_index() == 0:
+            grid_path = self.results_folder / f"sample-{milestone}.png"
+            save_image_grid(
+                samples, grid_path, nrow=int(np.sqrt(self.num_samples))
+            )
+            self.writer.image("Samples", np.asarray(samples[0]), step)
 
         fid = None
         if self.calculate_fid and self._fid_scorer is not None:

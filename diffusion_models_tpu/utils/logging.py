@@ -17,10 +17,23 @@ import numpy as np
 
 class MetricWriter:
     def __init__(self, logdir, use_tensorboard: bool = True):
+        # multi-host: only process 0 writes (every process constructs the
+        # writer; the others are no-ops) — the `accelerator.is_main_process`
+        # gating of the reference (`denoising_diffusion.py:1155-1158`).
+        # Import lazily so the module stays usable without jax.
+        try:
+            import jax
+
+            self.active = jax.process_index() == 0
+        except Exception:
+            self.active = True
         self.logdir = Path(logdir)
+        self._jsonl = None
+        self._tb = None
+        if not self.active:
+            return
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.logdir / "metrics.jsonl", "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -30,6 +43,8 @@ class MetricWriter:
                 self._tb = None
 
     def scalar(self, tag: str, value, step: int):
+        if not self.active:
+            return
         value = float(value)
         self._jsonl.write(
             json.dumps({"tag": tag, "value": value, "step": int(step), "t": time.time()})
@@ -41,6 +56,8 @@ class MetricWriter:
 
     def image(self, tag: str, img_hwc: np.ndarray, step: int):
         """img_hwc: float [0,1] or uint8 HWC."""
+        if not self.active:
+            return
         if self._tb is not None:
             img = np.asarray(img_hwc)
             if img.dtype != np.uint8:
@@ -52,6 +69,7 @@ class MetricWriter:
             self._tb.add_text(tag, text, step)
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -41,6 +41,12 @@ def main():
                          " dataset size)")
     ap.add_argument("--out", default=None,
                     help="output JSON (default <results>/rescore.json)")
+    ap.add_argument("--sampling_method", default=None, choices=["ddim", "dpmpp"],
+                    help="override the trained config's sampler for this "
+                         "rescore (round-3 verdict item 6: put a quality "
+                         "number on DPM-Solver++(2M))")
+    ap.add_argument("--sampling_timesteps", type=int, default=None,
+                    help="override the sampler step count for this rescore")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +54,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/dmt_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from diffusion_models_tpu.training.evaluation import FIDEvaluation
+    from diffusion_models_tpu.training.evaluation import (
+        FIDEvaluation,
+        InceptionScoreEvaluation,
+    )
     from diffusion_models_tpu.utils.config import load_config
 
     mod = importlib.import_module(f"train.{args.entry}")
@@ -66,6 +75,17 @@ def main():
         milestone = int(milestone)
     trainer.load(milestone, params_only=True)
 
+    # sampler overrides: applied before the first _jit_sample trace (the
+    # trainer jits with `self` static, so mutation after a trace would be
+    # silently stale — here nothing has been traced yet)
+    diff = trainer.diffusion
+    if args.sampling_method is not None:
+        diff.sampling_method = args.sampling_method
+    if args.sampling_timesteps is not None:
+        assert diff.is_ddim_sampling, (
+            "step-count override requires a DDIM/DPM++-configured process")
+        diff.sampling_timesteps = args.sampling_timesteps
+
     # fresh high-n real stats, cached separately from the training-time ones
     stats_dir = trainer.results_folder / f"rescore_stats_n{args.real_n}"
     fid_scorer = FIDEvaluation(
@@ -76,12 +96,23 @@ def main():
         weights_path=trainer.inception_weights,
     )
 
-    fids = []
+    # reference eval protocol is FID+IS (`inception_score_evaluation.py:52`);
+    # round-3 verdict item 9: report both per seed in the artifact
+    is_scorer = InceptionScoreEvaluation(
+        batch_size=trainer.batch_size,
+        log_file=stats_dir / "inception_score_log.txt",
+        weights_path=trainer.inception_weights,
+    )
+
+    fids, is_scores = [], []
     for seed in args.seeds:
         fakes = trainer.generate_samples(args.n, rng_seed=seed)
         fid = float(fid_scorer.fid_score(fakes))
+        is_score, _ = is_scorer.calculate_inception_score(fakes)
         fids.append(fid)
-        print(f"milestone {milestone} seed {seed}: FID {fid:.4f} (n={args.n})")
+        is_scores.append(float(is_score))
+        print(f"milestone {milestone} seed {seed}: FID {fid:.4f} "
+              f"IS {is_score:.4f} (n={args.n})")
 
     rec = {
         "config": args.config,
@@ -90,9 +121,14 @@ def main():
         "n": args.n,
         "real_n": args.real_n,
         "seeds": args.seeds,
+        "sampling_method": getattr(diff, "sampling_method", "ddim"),
+        "sampling_timesteps": getattr(diff, "sampling_timesteps", None),
         "fids": fids,
         "fid_mean": float(np.mean(fids)),
         "fid_std": float(np.std(fids)),
+        "is_scores": is_scores,
+        "is_mean": float(np.mean(is_scores)),
+        "is_std": float(np.std(is_scores)),
     }
     out = Path(args.out or trainer.results_folder / "rescore.json")
     out.write_text(json.dumps(rec, indent=2))

@@ -1,12 +1,16 @@
 """Collect every committed `results/*/rescore.json` into one markdown
-table (the nine-measured-families summary used in docs/ROUND3_NOTES.md
-and README.md). Keeps the headline table honest: it is generated from
-the committed measurement artifacts, not hand-maintained.
+table (the measured-families summary in README.md and the round notes).
+Keeps the headline table honest: it is generated from the committed
+measurement artifacts, not hand-maintained — and it rewrites the committed
+copies in place between `<!-- RESULTS_TABLE -->` / `<!-- /RESULTS_TABLE -->`
+markers so they cannot drift from the artifacts.
 
-    python scripts/results_table.py
+    python scripts/results_table.py            # rewrite marked files + print
+    python scripts/results_table.py --stdout   # print only
 """
 
 import json
+import sys
 from pathlib import Path
 
 # display order + human labels for the measured families
@@ -23,28 +27,76 @@ FAMILIES = [
     ("ldm_text_colors", "text-conditional LDM (20k)"),
 ]
 
+# files whose committed table is regenerated in place
+MARKED_FILES = ["README.md", "docs/ROUND3_NOTES.md", "docs/ROUND4_NOTES.md"]
 
-def main():
-    root = Path(__file__).resolve().parents[1] / "results"
+BEGIN, END = "<!-- RESULTS_TABLE -->", "<!-- /RESULTS_TABLE -->"
+
+
+def build_table(root: Path) -> str:
     rows = []
+    protocols = set()
     for folder, label in FAMILIES:
         f = root / folder / "rescore.json"
         if not f.exists():
             rows.append((label, folder, None))
             continue
         r = json.loads(f.read_text())
+        protocols.add((r["n"], len(r["seeds"])))
         rows.append((label, folder, r))
 
-    print("| family | FID (n=5000 × 3 seeds) | milestone | results |")
-    print("|---|---|---|---|")
+    # the column header states the protocol — derive it from the artifacts
+    # and fail loudly on a mix, instead of silently mislabeling a future
+    # rescore run at a different n / seed count
+    if len(protocols) > 1:
+        raise SystemExit(f"mixed rescore protocols in artifacts: {protocols}")
+    n, n_seeds = protocols.pop() if protocols else (5000, 3)
+
+    # He-init features: the zero-egress image has no pretrained Inception,
+    # so scores are relative (trend/comparison within this repo), not
+    # literature-comparable — label the column so the table is
+    # self-contained even when quoted without the surrounding prose
+    lines = [
+        f"| family | FID (He-init features, relative only; n={n} × "
+        f"{n_seeds} seeds) | IS | milestone | results |",
+        "|---|---|---|---|---|",
+    ]
     for label, folder, r in rows:
         if r is None:
-            print(f"| {label} | — (no rescore.json) | — |"
-                  f" `results/{folder}/` |")
+            lines.append(
+                f"| {label} | — (no rescore.json) | — | — |"
+                f" `results/{folder}/` |")
             continue
-        mean, std = r["fid_mean"], r["fid_std"]
-        print(f"| {label} | **{mean:.2f} ± {std:.2f}** |"
-              f" {r['milestone']} | `results/{folder}/` |")
+        fid = f"**{r['fid_mean']:.2f} ± {r['fid_std']:.2f}**"
+        if "is_mean" in r:
+            is_col = f"{r['is_mean']:.3f} ± {r['is_std']:.3f}"
+        else:
+            is_col = "— (pre-IS artifact)"
+        lines.append(f"| {label} | {fid} | {is_col} | {r['milestone']} |"
+                     f" `results/{folder}/` |")
+    return "\n".join(lines)
+
+
+def rewrite_in_place(path: Path, table: str) -> bool:
+    text = path.read_text()
+    if BEGIN not in text or END not in text:
+        return False
+    head, rest = text.split(BEGIN, 1)
+    _, tail = rest.split(END, 1)
+    path.write_text(f"{head}{BEGIN}\n{table}\n{END}{tail}")
+    return True
+
+
+def main():
+    repo = Path(__file__).resolve().parents[1]
+    table = build_table(repo / "results")
+    print(table)
+    if "--stdout" in sys.argv:
+        return
+    for rel in MARKED_FILES:
+        p = repo / rel
+        if p.exists() and rewrite_in_place(p, table):
+            print(f"rewrote table in {rel}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -34,3 +34,19 @@ if os.environ.get("DMT_TEST_FULL_OPT", "0") != "1":
     jax.config.update("jax_disable_most_optimizations", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_fused_mesh():
+    """The fused-kernel mesh registry is process-global (set by every
+    Trainer construction); reset it around each test so a trainer built in
+    one test cannot re-route kernel calls in another."""
+    from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+        set_fused_mesh,
+    )
+
+    set_fused_mesh(None)
+    yield
+    set_fused_mesh(None)

@@ -63,11 +63,17 @@ def main():
         train_batch_size=16,  # global batch; each process loads 8
         train_num_steps=3,
         train_lr=1e-3,
-        save_and_sample_every=1000,
+        # milestone eval fires at step 2 so the multi-host eval/ckpt path
+        # (sharded sampler output gather + process-0-gated side effects)
+        # actually executes under process_count == 2 — round-3 verdict
+        # item 3: the old value of 1000 meant it never ran
+        save_and_sample_every=2,
         num_samples=4,
         calculate_fid=False,
         calculate_is=False,
-        results_folder=os.path.join(out_dir, f"results_p{process_id}"),
+        # SHARED folder, as on a real multi-host filesystem: Orbax saves
+        # need one directory; MetricWriter/grids/params are p0-gated
+        results_folder=os.path.join(out_dir, "results_mp"),
         num_workers=2,
         augment_horizontal_flip=True,
     )

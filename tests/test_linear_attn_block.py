@@ -200,3 +200,116 @@ def test_analytic_bwd_kernel_matches_autodiff_interpret():
                 err_msg=f"grad mismatch for {name} at shape "
                         f"{(b, n, c, heads, dim_head)}",
             )
+
+
+# --------------------------------------------------------- mesh legality
+
+
+def test_shard_mapped_kernel_matches_single_device():
+    """Round-3 verdict item 2: with the Trainer's mesh registered, the
+    wrapper shard_maps the (interpret-mode) Pallas kernel over the data
+    axis — outputs must equal the unsharded kernel exactly."""
+    from diffusion_models_tpu.parallel.mesh import make_mesh
+    from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+        set_fused_mesh,
+    )
+
+    heads, dim_head, c = 4, 16, 32
+    b, n = 16, 64
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    names = ["g1", "wqkv", "mem_kv", "wout", "bout", "g2"]
+
+    def call(x, *ws):
+        return linear_attention_block(
+            x, *ws, heads=heads, dim_head=dim_head, scale=dim_head**-0.5,
+            interpret=True)
+
+    want = call(x, *(w[k] for k in names))
+
+    set_fused_mesh(make_mesh(8))
+    try:
+        got = jax.jit(call)(x, *(w[k] for k in names))
+    finally:
+        set_fused_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shard_mapped_kernel_grads_match_single_device():
+    """Gradients through the shard_mapped kernel: the batch-sharded x grad
+    and the psum-ed replicated-weight grads must match the unsharded
+    custom_vjp (analytic backward kernel) to accumulation-order noise."""
+    from diffusion_models_tpu.parallel.mesh import make_mesh
+    from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+        set_fused_mesh,
+    )
+
+    heads, dim_head, c = 2, 8, 16
+    b, n = 8, 16
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    names = ["g1", "wqkv", "mem_kv", "wout", "bout", "g2"]
+
+    def loss(x, *ws):
+        return jnp.sum(linear_attention_block(
+            x, *ws, heads=heads, dim_head=dim_head, scale=dim_head**-0.5,
+            interpret=True) ** 2)
+
+    want = jax.grad(loss, argnums=tuple(range(7)))(
+        x, *(w[k] for k in names))
+
+    set_fused_mesh(make_mesh(8))
+    try:
+        got = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(
+            x, *(w[k] for k in names))
+    finally:
+        set_fused_mesh(None)
+    for name, a, bb in zip(["x"] + names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=5e-4,
+            err_msg=f"sharded-grad mismatch for {name}")
+
+
+def test_registered_mesh_indivisible_batch_falls_back():
+    """A batch not divisible by the data axis must fall back to the jnp
+    twin (GSPMD shards that natively) and stay numerically correct."""
+    from diffusion_models_tpu.parallel.mesh import make_mesh
+    from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+        set_fused_mesh,
+    )
+
+    heads, dim_head, c = 2, 8, 16
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((3, 16, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    names = ["g1", "wqkv", "mem_kv", "wout", "bout", "g2"]
+
+    want = linear_attention_block_reference(
+        x, *(w[k] for k in names), heads, dim_head, dim_head**-0.5)
+    set_fused_mesh(make_mesh(8))
+    try:
+        got = linear_attention_block(
+            x, *(w[k] for k in names), heads=heads, dim_head=dim_head,
+            scale=dim_head**-0.5, interpret=True)
+    finally:
+        set_fused_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_batch_tile_v2_caps_small_n_budget():
+    """Regression for the queue9 leg-2 compile OOM: at the LDM latent-Unet
+    site (b=64, n=64, c=64, F=128, bf16) the calibrated 20 MB budget
+    selected bt=64, whose ~19.4 MB estimate landed a 16.57 MB Mosaic stack
+    — past the 16 MB scoped-VMEM hard limit. Small-n sites must cap the
+    estimated budget at 16 MB (bt≤32 here); flagship n=1024 keeps bt=4."""
+    from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+        _batch_tile_v2,
+    )
+
+    assert _batch_tile_v2(64, 64, 64, 128, 2) <= 32
+    # the flagship site's occupancy must not regress
+    assert _batch_tile_v2(256, 1024, 64, 128, 2) == 4

@@ -64,6 +64,16 @@ def test_two_process_training_matches_single(img_folder, tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     assert (tmp_path / "done").exists(), outs[0][-2000:]
 
+    # the milestone eval ran under process_count == 2 (worker sets
+    # save_and_sample_every=2): exactly ONE set of host-side artifacts in
+    # the shared results folder (process-0 gating — reference
+    # `is_main_process`, `denoising_diffusion.py:1023,1050,1101`), and the
+    # Orbax checkpoint committed
+    mp_results = tmp_path / "results_mp"
+    assert (mp_results / "sample-1.png").exists()
+    assert (mp_results / "training_params.json").exists()
+    assert (mp_results / "model-1").exists(), "milestone ckpt not committed"
+
     # single-process reference with the SAME effective global batches:
     # the 2-process global batch is [shard0 ‖ shard1] (process p's local
     # rows land on device p), so feed the reference trainer concatenated

@@ -8,6 +8,7 @@ insert the gradient all-reduce, and check the result matches single-device.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from diffusion_models_tpu.diffusion.gaussian import GaussianDiffusion
@@ -251,4 +252,95 @@ def test_eval_sampling_sharded_over_data_axis(tmp_path):
     )
     np.testing.assert_allclose(
         np.asarray(out8), np.asarray(out1), rtol=2e-5, atol=2e-6
+    )
+
+
+@pytest.mark.parametrize("sharding", ["fsdp", "tp"])
+def test_sharded_resume_preserves_placement(tmp_path, sharding):
+    """Round-3 verdict item 5: `Trainer.load()` must restore onto the
+    placement `param_sharding` dictates — not blanket-replicate (which
+    would OOM any model that needed FSDP in the first place). Trains 2
+    steps sharded, saves, reloads into a fresh trainer, and asserts both
+    the leaf shardings and the next-step loss match the uninterrupted
+    run."""
+    from diffusion_models_tpu.parallel.mesh import make_mesh_2d
+    from diffusion_models_tpu.training.trainer import Trainer
+
+    class SyntheticDataset:
+        def __len__(self):
+            return 32
+
+        def get(self, i, rng=None):
+            rs = np.random.RandomState(i)
+            return rs.rand(12, 12, 3).astype(np.float32)
+
+    def build(folder):
+        mesh = (make_mesh() if sharding == "fsdp"
+                else make_mesh_2d(model_parallel=2))
+        model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+        diff = GaussianDiffusion(
+            model, image_size=12, timesteps=10, sampling_timesteps=2,
+            beta_schedule="cosine",
+        )
+        return Trainer(
+            diff,
+            dataset=SyntheticDataset(),
+            train_batch_size=16,
+            train_num_steps=4,
+            calculate_fid=False,
+            calculate_is=False,
+            results_folder=str(folder),
+            mesh=mesh,
+            seed=7,
+            num_workers=1,
+            param_sharding=sharding,
+            # the tiny test Unet has no 2^16-element leaf; lower the FSDP
+            # threshold so some params actually shard
+            fsdp_min_size=2**8,
+        )
+
+    t1 = build(tmp_path / "run")
+    for _ in range(2):
+        t1.state, _ = t1._train_step(t1.state, t1.next_batch(), t1._base_rng)
+    t1.save(1)
+
+    want_shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding, t1.state.params
+    )
+    # the premise: at least one param is actually sharded
+    assert any(
+        s.spec != P() for s in jax.tree_util.tree_leaves(
+            want_shardings, is_leaf=lambda s: hasattr(s, "spec"))
+    ), "test premise broken: no param leaf is sharded"
+
+    b3 = t1.next_batch()
+    _, loss_uninterrupted = t1._train_step(t1.state, b3, t1._base_rng)
+
+    t2 = build(tmp_path / "run")  # same folder -> same checkpoints
+    t2.load(1)
+    got_shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding, t2.state.params
+    )
+    for name_want, name_got in zip(
+        jax.tree_util.tree_leaves_with_path(want_shardings,
+                                            is_leaf=lambda s: hasattr(s, "spec")),
+        jax.tree_util.tree_leaves_with_path(got_shardings,
+                                            is_leaf=lambda s: hasattr(s, "spec")),
+    ):
+        def _norm(spec):
+            # P(None, 'data') and P(None, 'data', None) place identically —
+            # strip trailing Nones before comparing
+            t = tuple(spec)
+            while t and t[-1] is None:
+                t = t[:-1]
+            return t
+
+        assert _norm(name_want[1].spec) == _norm(name_got[1].spec), (
+            f"resume changed the sharding of {name_want[0]}: "
+            f"{name_want[1].spec} -> {name_got[1].spec}"
+        )
+
+    _, loss_resumed = t2._train_step(t2.state, b3, t2._base_rng)
+    np.testing.assert_allclose(
+        float(loss_uninterrupted), float(loss_resumed), rtol=2e-5
     )
