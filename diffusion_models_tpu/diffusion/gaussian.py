@@ -673,8 +673,12 @@ class GaussianDiffusion:
         Data-prediction multistep solver (Lu et al. 2022, arXiv:2211.01095;
         same 2M form the reference ships only for EDM,
         `elucidated_diffusion.py:190-226`). Uses the DDIM time grid so step
-        counts are directly comparable to `ddim_sample`; typically matches
-        DDIM-50 quality at 10-15 steps. Deterministic (no ancestral noise).
+        counts are directly comparable to `ddim_sample`. Measured on the
+        flagship 100k checkpoint (n=5000 x 3 seeds, He-init FID,
+        `results/ddpm_natural32/dpmpp_rescore.json`): 2.94 +- 0.37 at 10
+        steps (within DDIM-50's 2.69 +- 0.41 noise band), 2.07 +- 0.36 at
+        15, 1.44 +- 0.31 at 25 — i.e. matches DDIM-50 at 10 steps and beats
+        it from 15 up. Deterministic (no ancestral noise).
 
         Per step, with a_t = sqrt(abar_t), s_t = sqrt(1-abar_t),
         lam_t = log(a_t/s_t), h = lam_next - lam_t:

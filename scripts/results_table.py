@@ -53,27 +53,34 @@ def build_table(root: Path) -> str:
     n, n_seeds = protocols.pop() if protocols else (5000, 3)
 
     # He-init features: the zero-egress image has no pretrained Inception,
-    # so scores are relative (trend/comparison within this repo), not
+    # so FID is relative (trend/comparison within this repo), not
     # literature-comparable — label the column so the table is
-    # self-contained even when quoted without the surrounding prose
+    # self-contained even when quoted without the surrounding prose.
+    # IS is suppressed entirely: with He-init logits the class posterior is
+    # near-uniform, so IS ≈ 1.0 for every model and, unlike He-init FID,
+    # carries no trend signal (std ≈ 1e-4 across seeds). The plumbing and
+    # tests stay live; the column activates when real Inception weights are
+    # dropped in (docs/WEIGHTS.md).
     lines = [
         f"| family | FID (He-init features, relative only; n={n} × "
-        f"{n_seeds} seeds) | IS | milestone | results |",
-        "|---|---|---|---|---|",
+        f"{n_seeds} seeds) | milestone | results |",
+        "|---|---|---|---|",
     ]
     for label, folder, r in rows:
         if r is None:
             lines.append(
-                f"| {label} | — (no rescore.json) | — | — |"
+                f"| {label} | — (no rescore.json) | — |"
                 f" `results/{folder}/` |")
             continue
         fid = f"**{r['fid_mean']:.2f} ± {r['fid_std']:.2f}**"
-        if "is_mean" in r:
-            is_col = f"{r['is_mean']:.3f} ± {r['is_std']:.3f}"
-        else:
-            is_col = "— (pre-IS artifact)"
-        lines.append(f"| {label} | {fid} | {is_col} | {r['milestone']} |"
+        lines.append(f"| {label} | {fid} | {r['milestone']} |"
                      f" `results/{folder}/` |")
+    lines.append(
+        "\nIS is recorded in each `rescore.json` but not tabulated: with "
+        "He-init Inception logits IS ≈ 1.0 by construction for every model "
+        "(no signal, unlike He-init FID which preserves trend). The IS "
+        "column activates when real Inception weights are supplied "
+        "(`docs/WEIGHTS.md`).")
     return "\n".join(lines)
 
 
