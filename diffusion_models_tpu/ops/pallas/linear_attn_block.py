@@ -422,7 +422,7 @@ def _batch_tile_v2(b: int, n: int, c: int, F: int, itemsize: int) -> int:
     """Batch tile for the folded kernel. Live set per batch element
     (empirical, dominated by the f32 softmax temps and the bf16 qkv):
     roughly n·(2c + 6F)·itemsize + n·5F·4 bytes. Budget is tunable via
-    DMT_LAB_BUDGET_MB (default 24 — an over-estimate that lands ≈15 MB of
+    DMT_LAB_BUDGET_MB (default 20 — an over-estimate that lands ≈15 MB of
     actual Mosaic stack allocation, just under the 16 MB scoped-VMEM
     limit; measured best on v5e). Larger tiles matter twice: the N=1024
     sites gain MXU occupancy (bt=4), and the small sites (N=256, c=128)

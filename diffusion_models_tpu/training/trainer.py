@@ -300,13 +300,21 @@ class Trainer:
         # through the fused Pallas block kernel; registering the mesh lets
         # the kernel wrapper shard_map itself over the data axis (with
         # fsdp/tp the weights are themselves sharded, which the kernel's
-        # replicated-weight shard_map does not support — keep plain XLA)
-        if param_sharding == "replicated" and "data" in self.mesh.axis_names:
-            from diffusion_models_tpu.ops.pallas.linear_attn_block import (
-                set_fused_mesh,
-            )
+        # replicated-weight shard_map does not support — keep plain XLA).
+        # The registry is process-global and read at trace time, so a
+        # NON-qualifying Trainer must CLEAR any stale registration from an
+        # earlier replicated Trainer — otherwise this model's sharded
+        # weights would be traced through the replicated-weight shard_map
+        # (round-4 VERDICT item 4). Last-constructed Trainer wins; programs
+        # an earlier Trainer already compiled keep the mesh they captured.
+        from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+            set_fused_mesh,
+        )
 
+        if param_sharding == "replicated" and "data" in self.mesh.axis_names:
             set_fused_mesh(self.mesh, "data")
+        else:
+            set_fused_mesh(None)
 
         self._train_step = self._build_train_step()
         self._fid_scorer = None

@@ -80,6 +80,14 @@ def main():
     # silently stale — here nothing has been traced yet)
     diff = trainer.diffusion
     if args.sampling_method is not None:
+        # sample() only consults sampling_method when is_ddim_sampling is
+        # True (fixed at construction, gaussian.py) — without this guard a
+        # full-step ancestral run would silently ignore the override while
+        # the artifact below records "sampling_method": "dpmpp"
+        assert diff.is_ddim_sampling, (
+            "--sampling_method override requires a DDIM/DPM++-configured "
+            "process (sampling_timesteps < timesteps); a full-step config "
+            "would silently ignore it")
         diff.sampling_method = args.sampling_method
     if args.sampling_timesteps is not None:
         assert diff.is_ddim_sampling, (

@@ -17,7 +17,7 @@ CFG=train/configs/edm2_karras_natural32_100k.yaml
 
 timeout 18000 python train/train_ddpm.py --config $CFG \
   && timeout 5400 python scripts/rescore_final.py --n 5000 \
-       --seeds 101 202 303 --entry train_ddpm --config $CFG
-touch results/edm2_karras_natural32_100k/.leg_done
+       --seeds 101 202 303 --entry train_ddpm --config $CFG \
+  && touch results/edm2_karras_natural32_100k/.leg_done
 
 echo "QUEUE10 DONE"

@@ -344,3 +344,64 @@ def test_sharded_resume_preserves_placement(tmp_path, sharding):
     np.testing.assert_allclose(
         float(loss_uninterrupted), float(loss_resumed), rtol=2e-5
     )
+
+
+def test_fsdp_trainer_clears_stale_fused_mesh(tmp_path):
+    """Round-4 VERDICT item 4 / advisor medium: the fused-kernel mesh
+    registry is process-global and read at trace time. A replicated
+    Trainer registers its mesh; an fsdp/tp Trainer constructed AFTERWARDS
+    in the same process must clear that registration before it builds its
+    train step — otherwise its sharded weights would be routed through the
+    replicated-weight shard_map wrapper. This test does not rely on the
+    conftest autouse reset: both constructions happen inside one test."""
+    from diffusion_models_tpu.ops.pallas.linear_attn_block import (
+        get_fused_mesh,
+    )
+    from diffusion_models_tpu.training.trainer import Trainer
+
+    class SyntheticDataset:
+        def __len__(self):
+            return 32
+
+        def get(self, i, rng=None):
+            rs = np.random.RandomState(i)
+            return rs.rand(12, 12, 3).astype(np.float32)
+
+    def build(param_sharding, folder):
+        model = Unet(dim=8, dim_mults=(1, 2), channels=3)
+        diff = GaussianDiffusion(
+            model, image_size=12, timesteps=10, sampling_timesteps=2,
+            beta_schedule="cosine",
+        )
+        return Trainer(
+            diff,
+            dataset=SyntheticDataset(),
+            train_batch_size=16,
+            train_num_steps=1,
+            calculate_fid=False,
+            calculate_is=False,
+            results_folder=str(folder),
+            mesh=make_mesh(),
+            seed=7,
+            num_workers=1,
+            param_sharding=param_sharding,
+        )
+
+    t_rep = build("replicated", tmp_path / "rep")
+    reg = get_fused_mesh()
+    assert reg is not None and reg[0] is t_rep.mesh and reg[1] == "data"
+
+    t_fsdp = build("fsdp", tmp_path / "fsdp")
+    assert get_fused_mesh() is None, (
+        "fsdp Trainer construction left a stale fused-mesh registration"
+    )
+
+    # the fsdp model still trains correctly on the plain-XLA path
+    b = t_fsdp.next_batch()
+    _, loss = t_fsdp._train_step(t_fsdp.state, b, t_fsdp._base_rng)
+    assert np.isfinite(float(loss))
+
+    # and a later replicated Trainer re-registers its own mesh
+    t_rep2 = build("replicated", tmp_path / "rep2")
+    reg2 = get_fused_mesh()
+    assert reg2 is not None and reg2[0] is t_rep2.mesh
