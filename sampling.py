@@ -75,6 +75,9 @@ def build_diffusion(args):
 
 
 def main():
+    from diffusion_models_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--trained_models_folder", type=str, required=True)
     p.add_argument("--images_folder", type=str, default=None,

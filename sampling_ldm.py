@@ -27,6 +27,9 @@ from train.train_ldm import load_frozen_vae
 
 
 def main():
+    from diffusion_models_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--trained_models_folder", type=str, required=True)
     p.add_argument("--config", type=str, required=True)

@@ -27,6 +27,9 @@ from diffusion_models_tpu.utils.config import load_config
 
 
 def main():
+    from diffusion_models_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--trained_models_folder", type=str, required=True)
     p.add_argument("--config", type=str, required=True)

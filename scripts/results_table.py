@@ -17,8 +17,12 @@ from pathlib import Path
 FAMILIES = [
     ("ddpm_natural32", "pixel DDPM (flagship, 100k)"),
     ("edm_natural32", "EDM / elucidated (20k)"),
-    ("edm2_karras_natural32", "EDM2 / Karras-MP (100k)"),
-    ("edm2_karras_natural32_30k", "EDM2 / Karras-MP (30k rerun)"),
+    # the original 100k run's checkpoint was wiped by a VM restart (its
+    # committed trail lives in results/edm2_karras_natural32/); the round-5
+    # retrain reproduces it with durable in-repo milestones
+    ("edm2_karras_natural32_100k", "EDM2 / Karras-MP (100k retrain)"),
+    ("edm2_karras_natural32_30k",
+     "EDM2 / Karras-MP (30k — undertrained budget point)"),
     ("ddpm_gray2color", "image-conditional DDPM (20k)"),
     ("ddpm_text_colors", "text-conditional DDPM (20k)"),
     ("cfg_color_classes", "CFG class-conditional (20k)"),

@@ -72,6 +72,9 @@ def build(cfg):
 
 
 def main():
+    from diffusion_models_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="config.yaml")
     args = parser.parse_args()

@@ -84,6 +84,9 @@ def build(cfg):
 
 
 def main():
+    from diffusion_models_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="config.yaml")
     parser.add_argument("--resume", type=str, default=None,
