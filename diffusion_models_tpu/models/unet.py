@@ -360,8 +360,16 @@ class LinearAttention(nn.Module):
                 linear_attention_block,
             )
 
+            xc = x.astype(self.dtype)
+            if os.environ.get("DMT_LAB_4D") != "1":
+                # default: token-major (B, N, C) kernel input. DMT_LAB_4D=1
+                # hands the kernel the conv-shaped NHWC tensor directly
+                # (H·W flattened inside VMEM) — an experiment against the
+                # ~0.3 ms/site boundary relayout XLA schedules around the
+                # host-graph reshape (docs/ROUND3_NOTES.md MFU table)
+                xc = xc.reshape(b, n, c)
             out = linear_attention_block(
-                x.astype(self.dtype).reshape(b, n, c),
+                xc,
                 g1, wqkv, mem_kv,
                 wout.reshape(hidden, self.dim), bout, g2,
                 heads=self.heads, dim_head=self.dim_head,

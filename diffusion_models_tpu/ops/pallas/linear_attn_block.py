@@ -172,7 +172,14 @@ def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     block's pre-norm / projections / out-norm / residual.
     """
     f32 = jnp.float32
-    x = x_ref[...]                       # (BT, N, C)
+    x = x_ref[...]                       # (BT, N, C) or (BT, H, W, C)
+    orig_shape = x.shape
+    if x.ndim == 4:
+        # 4-D NHWC block (DMT_LAB_4D experiment): flatten H·W → N inside
+        # VMEM — row-major contiguous, so the reshape is free; the point
+        # is to hand XLA's layout assignment the conv-shaped tensor
+        # directly instead of a host-graph reshape it must copy around
+        x = x.reshape(x.shape[0], x.shape[1] * x.shape[2], x.shape[3])
     bt, n, _ = x.shape
     cdtype = x.dtype
     ddtype = f32 if (interpret and cdtype == jnp.bfloat16) else cdtype
@@ -259,7 +266,9 @@ def _kernel_v2(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     o32 = out.astype(f32)
     inv2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(o32 * o32, -1, keepdims=True),
                                      1e-24))
-    o_ref[...] = (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
+    o_ref[...] = (
+        (o32 * inv2 * g2_ref[...].astype(f32)).astype(cdtype) + x
+    ).reshape(orig_shape)
 
 
 def _kernel_v2_bwd(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
@@ -278,8 +287,14 @@ def _kernel_v2_bwd(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
     convention as XLA's own bf16 autodiff, which treats casts as
     identity)."""
     f32 = jnp.float32
-    x = x_ref[...]                       # (BT, N, C)
+    x = x_ref[...]                       # (BT, N, C) or (BT, H, W, C)
+    orig_shape = x.shape
     gy = gy_ref[...].astype(f32)
+    if x.ndim == 4:
+        # 4-D NHWC blocks (DMT_LAB_4D): flatten H·W → N in VMEM (free)
+        flat = (x.shape[0], x.shape[1] * x.shape[2], x.shape[3])
+        x = x.reshape(flat)
+        gy = gy.reshape(flat)
     bt, n, _ = x.shape
     cdtype = x.dtype
     ddtype = f32 if (interpret and cdtype == jnp.bfloat16) else cdtype
@@ -397,7 +412,7 @@ def _kernel_v2_bwd(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref,
                                                       keepdims=True)
     dg1 = jnp.sum(dxn * x32 * inv1, axis=(0, 1)).reshape(1, 1, c)
 
-    dx_ref[...] = (gy + dx_norm).astype(cdtype)
+    dx_ref[...] = (gy + dx_norm).astype(cdtype).reshape(orig_shape)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -470,6 +485,9 @@ def linear_attention_block_reference(x, g1, wqkv, mem_kv, wout, bout, g2,
     residual). Used as the CPU fallback and for the backward pass."""
     from diffusion_models_tpu.ops.attention import linear_attention_bnhd
 
+    orig_shape = x.shape
+    if x.ndim == 4:  # (B, H, W, C) — DMT_LAB_4D experiment
+        x = x.reshape(x.shape[0], x.shape[1] * x.shape[2], x.shape[3])
     b, n, c = x.shape
     f32 = jnp.float32
     x32 = x.astype(f32)
@@ -491,7 +509,9 @@ def linear_attention_block_reference(x, g1, wqkv, mem_kv, wout, bout, g2,
     o32 = out.astype(f32)
     inv2 = jax.lax.rsqrt(jnp.maximum(jnp.sum(o32 * o32, -1, keepdims=True),
                                      1e-24))
-    return (o32 * inv2 * (g2.astype(f32) * c**0.5)).astype(x.dtype) + x
+    return (
+        (o32 * inv2 * (g2.astype(f32) * c**0.5)).astype(x.dtype) + x
+    ).reshape(orig_shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
@@ -607,12 +627,21 @@ def linear_attention_block(x, g1, wqkv, mem_kv, wout, bout, g2, *,
 def _pallas_impl_v2(x, g1, wqkv, mem_kv, wout, bout, g2, *,
                     heads: int, dim_head: int, scale: float,
                     interpret: bool = False):
-    b, n, c = x.shape
+    # x: (B, N, C) or — DMT_LAB_4D experiment — (B, H, W, C): the kernel
+    # consumes the conv-shaped tensor directly (flattening H·W in VMEM,
+    # where it is free) so XLA never sees a host-graph reshape whose
+    # layout it must copy for
+    spatial = x.shape[1:-1]
+    b, c = x.shape[0], x.shape[-1]
+    n = 1
+    for s in spatial:
+        n *= s
     F = heads * dim_head
     bt = _batch_tile_v2(b, n, c, F, x.dtype.itemsize)
     grid = (b // bt,)
 
-    big = pl.BlockSpec((bt, n, c), lambda i: (i, 0, 0),
+    big = pl.BlockSpec((bt,) + spatial + (c,),
+                       lambda i, _nd=len(spatial): (i,) + (0,) * (_nd + 1),
                        memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -636,7 +665,7 @@ def _pallas_impl_v2(x, g1, wqkv, mem_kv, wout, bout, g2, *,
             const((1, 1, c)),
         ],
         out_specs=big,
-        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b,) + spatial + (c,), x.dtype),
         interpret=interpret,
     )(
         x,
@@ -656,7 +685,11 @@ def _pallas_impl_v2_bwd(x, g1, wqkv, mem_kv, wout, bout, g2, gy, *,
     """Backward pallas_call for the folded kernel. Returns gradients in the
     PRIMAL shapes/dtypes of `linear_attention_block`'s array args:
     (dx, dg1, dwqkv, dmem_kv, dwout, dbout, dg2)."""
-    b, n, c = x.shape
+    spatial = x.shape[1:-1]
+    b, c = x.shape[0], x.shape[-1]
+    n = 1
+    for s in spatial:
+        n *= s
     F = heads * dim_head
     M = mem_kv.shape[3]
     f32 = jnp.float32
@@ -665,7 +698,8 @@ def _pallas_impl_v2_bwd(x, g1, wqkv, mem_kv, wout, bout, g2, gy, *,
     bt = max(1, _batch_tile_v2(b, n, c, F, x.dtype.itemsize) // 2)
     grid = (b // bt,)
 
-    big = pl.BlockSpec((bt, n, c), lambda i: (i, 0, 0),
+    big = pl.BlockSpec((bt,) + spatial + (c,),
+                       lambda i, _nd=len(spatial): (i,) + (0,) * (_nd + 1),
                        memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -674,7 +708,7 @@ def _pallas_impl_v2_bwd(x, g1, wqkv, mem_kv, wout, bout, g2, gy, *,
     mem_rows = mem_kv.astype(x.dtype).transpose(0, 3, 1, 2).reshape(2, M, F)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((b, n, c), x.dtype),   # dx
+        jax.ShapeDtypeStruct((b,) + spatial + (c,), x.dtype),   # dx
         jax.ShapeDtypeStruct((1, 1, c), f32),       # d(g1*sqrtc)
         jax.ShapeDtypeStruct((c, 3 * F), f32),      # dwqkv
         jax.ShapeDtypeStruct((M, F), f32),          # dmem_k rows
@@ -745,6 +779,13 @@ def _pallas_impl_v2_bwd(x, g1, wqkv, mem_kv, wout, bout, g2, gy, *,
 def _pallas_impl(x, g1, wqkv, mem_kv, wout, bout, g2, *,
                  heads: int, dim_head: int, scale: float,
                  interpret: bool = False):
+    if x.ndim == 4:  # v1 kernel is token-major only; flatten outside
+        b4, h4, w4, c4 = x.shape
+        return _pallas_impl(
+            x.reshape(b4, h4 * w4, c4), g1, wqkv, mem_kv, wout, bout, g2,
+            heads=heads, dim_head=dim_head, scale=scale,
+            interpret=interpret,
+        ).reshape(b4, h4, w4, c4)
     b, n, c = x.shape
     bt = _batch_tile(b, n, c, heads, dim_head, x.dtype.itemsize)
     grid = (b // bt,)

@@ -67,6 +67,7 @@ def make_cfg_trainer(class_folder, tmp_path, **kwargs):
     return CFGTrainer(diff, str(class_folder), **defaults)
 
 
+@pytest.mark.slow
 def test_cfg_trainer_end_to_end(class_folder, tmp_path):
     """Train 2 steps, hit a milestone: guided sampling grid + class captions
     + checkpoint must all be produced."""

@@ -55,6 +55,7 @@ def text_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_image_conditional_trainer(paired_root, tmp_path):
     model = Unet(dim=8, dim_mults=(1, 2), channels=3, cond_channels=3)
     diff = ImageConditionalGaussianDiffusion(
@@ -76,6 +77,7 @@ def test_image_conditional_trainer(paired_root, tmp_path):
     assert trainer.ckpt.milestones() == [1]
 
 
+@pytest.mark.slow
 def test_text_conditional_trainer(text_root, tmp_path):
     model = Unet(
         dim=8, dim_mults=(1, 2), channels=3,
@@ -101,6 +103,7 @@ def test_text_conditional_trainer(text_root, tmp_path):
     assert len(captions) == 4
 
 
+@pytest.mark.slow
 def test_image_conditional_fused_steps_match_single(paired_root, tmp_path):
     """steps_per_call>1 must be equivalent on CONDITIONAL (tuple) batches
     too — the fused (K, accum, B, ...) stacking is pytree-generic."""

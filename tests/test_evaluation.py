@@ -56,6 +56,7 @@ def test_inception_grayscale_broadcast(runner):
     assert feats.shape == (2, 2048)
 
 
+@pytest.mark.slow
 def test_fid_stats_caching(tmp_path, runner):
     class FakeDS:
         def __len__(self):

@@ -245,6 +245,7 @@ def test_immiscible_greedy_in_jit():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """remat=True changes memory strategy only — loss and grads identical."""
     model = Unet(dim=8, dim_mults=(1, 2), channels=3)

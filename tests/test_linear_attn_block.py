@@ -166,6 +166,7 @@ def test_param_tree_matches_pre_refactor_layout():
     }
 
 
+@pytest.mark.slow
 def test_analytic_bwd_kernel_matches_autodiff_interpret():
     """The hand-derived backward kernel (interpret mode) must match
     jax.grad of the jnp twin for every input: x and all six weight
@@ -313,3 +314,49 @@ def test_batch_tile_v2_caps_small_n_budget():
     assert _batch_tile_v2(64, 64, 64, 128, 2) <= 32
     # the flagship site's occupancy must not regress
     assert _batch_tile_v2(256, 1024, 64, 128, 2) == 4
+
+
+def test_kernel_v2_4d_input_matches_3d():
+    """DMT_LAB_4D experiment: the kernel accepts the conv-shaped
+    (B, H, W, C) tensor directly (H·W flattened inside VMEM). Forward and
+    gradients must match the token-major (B, N, C) call bit-for-bit in
+    interpret mode."""
+    rng = np.random.default_rng(11)
+    b, h, w_, c, heads, dim_head = 2, 8, 8, 32, 4, 16
+    x4 = jnp.asarray(rng.standard_normal((b, h, w_, c)), jnp.float32)
+    w = _make_weights(rng, c, heads, dim_head)
+    args = (w["g1"], w["wqkv"], w["mem_kv"], w["wout"], w["bout"], w["g2"])
+
+    def run(x):
+        return linear_attention_block(
+            x, *args, heads=heads, dim_head=dim_head,
+            scale=dim_head**-0.5, interpret=True)
+
+    got4 = run(x4)
+    assert got4.shape == (b, h, w_, c)
+    want = run(x4.reshape(b, h * w_, c))
+    np.testing.assert_allclose(
+        np.asarray(got4).reshape(b, h * w_, c), np.asarray(want),
+        rtol=1e-6, atol=1e-6)
+
+    def loss4(x, *a):
+        return jnp.sum(run(x) ** 2)
+
+    g4 = jax.grad(lambda x: jnp.sum(run(x) ** 2))(x4)
+    g3 = jax.grad(lambda x: jnp.sum(run(x) ** 2))(x4.reshape(b, h * w_, c))
+    assert g4.shape == (b, h, w_, c)
+    np.testing.assert_allclose(
+        np.asarray(g4).reshape(b, h * w_, c), np.asarray(g3),
+        rtol=2e-5, atol=2e-5)
+
+    # weight grads too (the bwd kernel's 4-D x/gy handling)
+    gw4 = jax.grad(lambda wq: jnp.sum(linear_attention_block(
+        x4, w["g1"], wq, w["mem_kv"], w["wout"], w["bout"], w["g2"],
+        heads=heads, dim_head=dim_head, scale=dim_head**-0.5,
+        interpret=True) ** 2))(w["wqkv"])
+    gw3 = jax.grad(lambda wq: jnp.sum(linear_attention_block(
+        x4.reshape(b, h * w_, c), w["g1"], wq, w["mem_kv"], w["wout"],
+        w["bout"], w["g2"], heads=heads, dim_head=dim_head,
+        scale=dim_head**-0.5, interpret=True) ** 2))(w["wqkv"])
+    np.testing.assert_allclose(np.asarray(gw4), np.asarray(gw3),
+                               rtol=2e-5, atol=2e-5)

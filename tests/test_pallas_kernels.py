@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from diffusion_models_tpu.ops.attention import dot_product_attention
@@ -103,6 +104,7 @@ def test_fused_mse_per_sample():
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_use_pallas_wired_paths_match_xla():
     """The `use_pallas=True` production wiring (q_sample + per-sample MSE in
     p_losses, fused DDIM update in ddim_sample) must match the XLA path

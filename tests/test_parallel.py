@@ -145,6 +145,7 @@ def test_tp_param_sharding_matches_replicated():
     np.testing.assert_allclose(float(loss_rep), float(loss_tp), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_trainer_step_matches_replicated(tmp_path):
     """One full Trainer step (grad accum + clip + Adam + EMA) with
     param_sharding='tp' on a 2-D mesh produces the same parameters as the
@@ -255,6 +256,7 @@ def test_eval_sampling_sharded_over_data_axis(tmp_path):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sharding", ["fsdp", "tp"])
 def test_sharded_resume_preserves_placement(tmp_path, sharding):
     """Round-3 verdict item 5: `Trainer.load()` must restore onto the

@@ -52,6 +52,7 @@ def test_trainer_runs_and_logs(img_folder, tmp_path):
     assert (tmp_path / "results" / "tensorboard_logs" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_loss_decreases(img_folder, tmp_path):
     trainer = make_trainer(
         img_folder, tmp_path, train_num_steps=30, train_lr=3e-3
@@ -117,6 +118,7 @@ def test_preemption_checkpoint(img_folder, tmp_path):
     assert int(trainer2.state.step) == 1
 
 
+@pytest.mark.slow
 def test_anomaly_detection(img_folder, tmp_path):
     import pytest as _pytest
 
@@ -127,6 +129,7 @@ def test_anomaly_detection(img_folder, tmp_path):
     assert trainer.ckpt.exists("anomaly")
 
 
+@pytest.mark.slow
 def test_milestone_eval_with_fid(img_folder, tmp_path):
     """Full milestone eval path with FID enabled (random inception weights —
     exercises sample-grid + fake generation + stats caching + scoring +
@@ -155,6 +158,7 @@ def test_milestone_eval_with_fid(img_folder, tmp_path):
     assert any(l["tag"] == "Eval/FID" for l in lines)
 
 
+@pytest.mark.slow
 def test_steps_per_call_fused_matches_single(img_folder, tmp_path):
     """K optimizer steps fused into one jitted lax.scan call must land on the
     same step count and (to f32 reassociation noise) the same params as K

@@ -157,6 +157,7 @@ def test_vae_losses():
     np.testing.assert_allclose(float(nll), 0.1, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vae_trainer_two_steps(tmp_path):
     import jax
     from PIL import Image as PILImage
@@ -206,6 +207,7 @@ def test_vqmodel_prequant_interface():
     np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_full), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kl_vae_trainer_two_steps(tmp_path):
     """AutoencoderKL adversarial training path (reference
     `ldm/models/autoencoder.py:405-424`): two jitted steps, kl_loss logged,
