@@ -81,6 +81,7 @@ def test_cfg_trainer_end_to_end(class_folder, tmp_path):
     assert (results / "model-1").exists()
 
 
+@pytest.mark.slow
 def test_cfg_trainer_guided_samples(class_folder, tmp_path):
     trainer = make_cfg_trainer(class_folder, tmp_path, train_num_steps=2,
                                save_and_sample_every=4)

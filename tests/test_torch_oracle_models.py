@@ -387,6 +387,7 @@ def _torch_vgg16_features():
     return nn.Sequential(*layers)
 
 
+@pytest.mark.slow
 def test_lpips_converted_forward_matches_torch_oracle(tmp_path):
     from diffusion_models_tpu.models.lpips import LPIPS, _SHIFT, _SCALE
 
@@ -607,6 +608,7 @@ class TInceptionV3(nn.Module):
         return pool, self.fc(pool)
 
 
+@pytest.mark.slow
 def test_inception_converted_forward_matches_torch_oracle():
     from diffusion_models_tpu.models.inception import InceptionV3
 
@@ -842,6 +844,7 @@ def vq_pair():
     return tm, fm
 
 
+@pytest.mark.slow
 def test_vae_torch_to_flax_converted_forward(vq_pair, tmp_path):
     from diffusion_models_tpu.utils.torch_compat import (
         load_reference_vae_checkpoint,

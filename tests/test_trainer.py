@@ -230,6 +230,7 @@ def test_lr_schedule_decays(tmp_path):
     assert abs(sched_lr16 - 5e-4) < 1e-9
 
 
+@pytest.mark.slow
 def test_load_latest_resolves_numeric_milestone(img_folder, tmp_path):
     """load('latest') without a model-latest dir (no save_best_and_latest_only)
     falls back to the highest numeric milestone — the `--resume latest` CLI
